@@ -248,6 +248,29 @@ def dim_municipalities(spark: SparkSession) -> DataFrame:
     )
 
 
+def dim_pnr_labels(spark: SparkSession) -> DataFrame:
+    """Finnish Place Name Registry label dictionary (the PNR ARPA service of
+    the reference, arpa_services/pnr_municipality — exact lowercase label
+    equality is the match rule)."""
+    rows = [
+        (NS.PNR_NS + "P_" + pnr, label)
+        for _, label, pnr, _ in MUNICIPALITIES
+        if pnr
+    ]
+    return spark.createDataFrame(rows, "pnr_uri string, label string")
+
+
+def dim_warsa_labels(spark: SparkSession) -> DataFrame:
+    """WarSampo wartime municipality label dictionary
+    (http://ldf.fi/warsa/places/municipalities graph, src/linker.py:90-91)."""
+    rows = [
+        (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + wid, label)
+        for _, label, _, wid in MUNICIPALITIES
+        if wid
+    ]
+    return spark.createDataFrame(rows, "warsa_uri string, label string")
+
+
 def dim_occupations(spark: SparkSession) -> DataFrame:
     rows = [(NS.OCCUPATIONS_NS + slug, label) for slug, label in OCCUPATIONS]
     return spark.createDataFrame(rows, "occ_uri string, label string")
@@ -333,6 +356,20 @@ def municipalities_cte() -> str:
         ["mun_uri", "label", "current_municipality", "wartime_municipality", "preferred_municipality"],
         rows,
     )
+
+
+def pnr_labels_cte() -> str:
+    rows = [(NS.PNR_NS + "P_" + pnr, label) for _, label, pnr, _ in MUNICIPALITIES if pnr]
+    return values_cte("pnr_labels", ["pnr_uri", "label"], rows)
+
+
+def warsa_labels_cte() -> str:
+    rows = [
+        (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + wid, label)
+        for _, label, _, wid in MUNICIPALITIES
+        if wid
+    ]
+    return values_cte("warsa_labels", ["warsa_uri", "label"], rows)
 
 
 def occupations_cte() -> str:

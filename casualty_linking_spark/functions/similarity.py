@@ -1,0 +1,132 @@
+"""String-similarity scoring for candidate re-ranking.
+
+Two tiers (SURVEY.md §2.3):
+
+* JVM-side ``levenshtein_ratio`` — Spark's built-in ``F.levenshtein`` in a
+  normalized 0-100 ratio. This is the engine's default unit scorer (and the
+  DuckDB-oracle-expressible one). The reference uses fuzzywuzzy fuzz.ratio
+  with acceptance threshold 20 (src/linker.py:129,171,177); at that
+  threshold the accept/reject decision is insensitive to which ratio is
+  used, and the per-group argmax is made deterministic by a URI tie-break.
+* ``fuzz_ratio`` — exact fuzzywuzzy-compatible difflib ratio as an
+  Arrow-batched pandas UDF, for strict reference-parity tests.
+* ``jaro_winkler`` — vectorized pandas UDF matching DuckDB's
+  ``jaro_winkler_similarity`` (boost threshold 0.7, prefix cap 4);
+  the occupation linker's scorer (threshold 0.88, src/linker.py:290),
+  sanctioned by BASELINE.json north_star ("Jaro-Winkler/edit-distance
+  candidate scoring").
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """100 * (1 - lev(a,b) / max(len(a), len(b), 1)) — whole-stage-codegen'd."""
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    return 100.0 * (F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom.cast("double"))
+
+
+def duckdb_levenshtein_ratio(a: str, b: str) -> str:
+    return (
+        f"100.0 * (1.0 - CAST(levenshtein({a}, {b}) AS DOUBLE) / "
+        f"CAST(greatest(length({a}), length({b}), 1) AS DOUBLE))"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def fuzz_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    """fuzzywuzzy-0.17-compatible fuzz.ratio: round(100 * difflib ratio)
+    (the reference's unit scorer, src/linker.py:171)."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a.fillna(""), b.fillna(""))):
+        out[i] = round(100 * SequenceMatcher(None, x, y).ratio())
+    return pd.Series(out)
+
+
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * l1
+    flags2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = True
+                flags2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Standard Jaro-Winkler with 0.7 boost threshold and 4-char prefix cap —
+    matches DuckDB's jaro_winkler_similarity (verified in tests)."""
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 != c2:
+                break
+            prefix += 1
+        j += prefix * prefix_weight * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Operates on UTF-8 bytes (not codepoints) — byte-for-byte identical to
+    DuckDB's jaro_winkler_similarity (verified in tests/test_similarity.py)."""
+    av = a.fillna("").to_numpy()
+    bv = b.fillna("").to_numpy()
+    out = np.empty(len(av), dtype=np.float64)
+    for i in range(len(av)):
+        out[i] = jaro_winkler_py(
+            av[i].encode("utf-8").decode("latin-1"),
+            bv[i].encode("utf-8").decode("latin-1"),
+        )
+    return pd.Series(out)
+
+
+# ASCII folding for scorer inputs: Spark's levenshtein counts codepoints while
+# DuckDB's counts UTF-8 bytes, so edit-distance scoring is defined over the
+# accent-folded string (also improves match recall on dirty OCR'd text).
+_FOLD_SRC = "äöåüéóáÄÖÅÜÉÓÁ"
+_FOLD_DST = "aoaueoaAOAUEOA"
+
+
+def ascii_fold(col: Column) -> Column:
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
+def duckdb_ascii_fold(expr: str) -> str:
+    out = expr
+    for s, d in zip(_FOLD_SRC, _FOLD_DST):
+        out = f"replace({out}, '{s}', '{d}')"
+    return out

@@ -1,0 +1,179 @@
+"""Large-scale training-data deduplication over the ``documents`` table.
+
+Five dedup families, all engineered for the 100 TB posture:
+
+* exact          — hash-groupBy on md5(text): one shuffle on a 32-char key,
+                   map-side partial agg; canonical id = min doc_id per hash.
+* minhash + LSH  — shingle -> k minhashes -> banded buckets -> bucket
+                   self-join. Everything up to the bucket join is per-row
+                   JVM expression work (array transforms over built-ins, no
+                   UDF); the only shuffle is on band keys, whose fan-out
+                   bounds candidate pairs (classic MMDS ch.3 scheme).
+* simhash        — 16-bit majority-vote fingerprint over token hashes;
+                   near-dup = equal fingerprint bucket.
+* n-gram Jaccard — exact verification of LSH candidate pairs
+                   (array_intersect/array_union on shingle sets).
+* embedding cosine — near-dup pairs above a cosine threshold, blocked by
+                   label to avoid the n^2 cross join.
+
+Hashes are md5-based so the DuckDB oracle can reproduce them bit-for-bit
+(Spark's murmur hash() is engine-private; md5 is portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+N_HASHES = 12
+BAND_SIZE = 3  # 4 bands of 3 -> s-curve threshold ~ (1/4)^(1/3) ≈ 0.63
+SHINGLE_WORDS = 3
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct, sorted word n-gram shingles."""
+    w = words_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, canonical_id, group_size)."""
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy("text_hash")
+    return (
+        documents.select(F.col("doc_id"), h.alias("text_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
+    """Array of n minhashes: min over shingles of md5(seed || ':' || shingle).
+    String-min over hex digests — portable across engines."""
+    sh = shingles_col(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_bands(documents: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_key) — band_key = md5 of the band's minhashes."""
+    sig = minhash_signature(F.col("text"), n_hashes)
+    n_bands = n_hashes // band_size
+    out = documents.select(F.col("doc_id"), sig.alias("sig"))
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.md5(
+                    F.concat(
+                        b.cast("string"), F.lit("|"),
+                        F.array_join(F.slice(F.col("sig"), b * band_size + 1, band_size), ","),
+                    )
+                ).alias("band_key"),
+            ),
+        )
+    )
+    return out.select("doc_id", bands.alias("b")).select("doc_id", "b.band_idx", "b.band_key")
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one band."""
+    b = lsh_bands(documents)
+    a = b.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    c = b.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(c, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard (doc_a, doc_b,
+    jaccard) — the verify stage after the probabilistic filter."""
+    cands = minhash_lsh_pairs(documents)
+    sh = documents.select(F.col("doc_id"), shingles_col(F.col("text")).alias("sh"))
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _hex_nibble_to_int(c: Column) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit simhash over word hashes: bit p set iff the majority of words
+    have bit p set in the first 4 hex chars of their md5. Bit extraction is
+    plain arithmetic (floor-div by powers of two) on hex nibbles so the
+    DuckDB oracle replicates it exactly."""
+    w = F.array_distinct(words_col(text))
+
+    def word_bit(word: Column, p: Column) -> Column:
+        nib = _hex_nibble_to_int(F.md5(word).substr((p / 4).cast("int") + 1, F.lit(1)))
+        power = F.pow(F.lit(2.0), (F.lit(3) - p % 4).cast("double"))
+        return (F.floor(nib / power).cast("int") % 2).cast("int")
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda p: F.when(
+            F.aggregate(w, F.lit(0), lambda acc, word: acc + word_bit(word, p)) * 2
+            > F.size(w),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda p: F.pow(F.lit(2.0), (F.lit(15) - p).cast("double")).cast("int"),
+    )
+    return F.aggregate(
+        F.zip_with(bits, weights, lambda b, wgt: b * wgt), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def simhash_buckets(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash, canonical_id) — equal-fingerprint near-dup buckets."""
+    w = Window.partitionBy("simhash")
+    return (
+        documents.select(F.col("doc_id"), simhash16(F.col("text")).alias("simhash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Cosine near-dup pairs over the embedding column, blocked by label
+    (at scale: LSH random-hyperplane buckets instead of labels)."""
+    e = embeddings.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")

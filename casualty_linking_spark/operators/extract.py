@@ -1,0 +1,58 @@
+"""T1 — mention extraction from transcript turns.
+
+Per BASELINE.json input_hint, casualty-record fields arrive embedded in turn
+``text``; extraction finds the register fields that the reference reads as
+CSV columns (src/mapping.py:96-317 keys). All extraction is JVM-side
+``regexp_extract`` (whole-stage codegen; no Python in this hot path — at
+10^12 turns this stage dominates scan cost, so it must stay in Tungsten).
+
+Output is long-form-free: one row per turn with one nullable column per
+field; a field absent from a turn is null, so the map-side partial agg in
+T2's groupBy collapses each conversation's fields without a second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Register field names, mirroring reference src/mapping.py:96-317.
+FIELDS = [
+    "SNIMI", "ENIMET", "SSAATY", "SPUOLI", "KANSALAISUUS", "KANSALLISUUS",
+    "AIDINKIELI", "LASTENLKM", "AMMATTI", "SOTARVO", "JOSKOODI", "JOSNIMI",
+    "SAIKA", "SKUNTA", "KIRJKUNTA", "ASKUNTA", "HAAVAIKA", "HAAVKUNTA",
+    "HAAVPAIKKA", "KATOAIKA", "KATOKUNTA", "KATOPAIKKA", "KUOLINAIKA",
+    "KUOLINKUNTA", "KUOLINPAIKKA", "MENEHTLUOKKA", "HKUNTA", "HMAA",
+    "HPAIKKA", "VAPAA_PAIKKATIETO",
+]
+
+
+def field_pattern(field: str) -> str:
+    # \b guards against suffix collisions (SNIMI inside JOSNIMI).
+    return rf"\b{field}=([^;]*)"
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx) + one nullable string column per register field."""
+    cols = [
+        F.nullif(F.trim(F.regexp_extract("text", field_pattern(f), 1)), F.lit(""))
+        .alias(f.lower())
+        for f in FIELDS
+    ]
+    return transcripts.select("conv_id", "turn_idx", *cols)
+
+
+def mentions_to_raw_records(mentions: DataFrame) -> DataFrame:
+    """Collapse per-turn mentions to one raw record per conversation.
+
+    Each field occurs in at most one turn, so ``max`` (null-skipping, with a
+    map-side partial) is the collapse. person_id is recovered from conv_id
+    and the record URI minted as DATA_CAS 'p{id}' (reference
+    src/csv_to_rdf.py:187-188). One shuffle, keyed by conv_id.
+    """
+    aggs = [F.max(f.lower()).alias(f.lower()) for f in FIELDS]
+    recs = mentions.groupBy("conv_id").agg(*aggs)
+    pid = F.substring("conv_id", 6, 10).cast("bigint")
+    return recs.withColumn("person_id", pid).withColumn(
+        "record_uri",
+        F.concat(F.lit("http://ldf.fi/warsa/casualties/p"), F.col("person_id").cast("string")),
+    )

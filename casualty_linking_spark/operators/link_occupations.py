@@ -1,0 +1,58 @@
+"""J4 — occupation linking: fuzzy match of the lowercase occupation literal
+against the occupation ontology, threshold 0.88 (reference
+src/linker.py:287-291 link_occupations(..., score_threshold=0.88)).
+
+Scorer: Jaro-Winkler (sanctioned by BASELINE.json north_star as the
+replacement for the reference's jellyfish-based similarity), computed over
+UTF-8 bytes by an Arrow-batched pandas UDF (exactly DuckDB's
+jaro_winkler_similarity — the oracle runs the same formula).
+
+Plan shape: the ontology side is tiny -> broadcast nested-loop candidate
+join (mirrors the reference, which scores every record against every label).
+At realistic dictionary sizes (10^4 labels) switch on ``block_first_char``:
+candidates then share the first character — a broadcast hash join — trading
+a sliver of recall for a 30-60x candidate reduction; with threshold 0.88 a
+first-char mismatch almost never survives anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import namespaces as NS
+from ..functions.similarity import jaro_winkler
+
+SCORE_THRESHOLD = 0.88
+
+
+def link_occupations(
+    records: DataFrame,
+    occupations: DataFrame,
+    threshold: float = SCORE_THRESHOLD,
+    block_first_char: bool = False,
+) -> DataFrame:
+    """-> triples (record_uri, BIOC.has_occupation, occ_uri)."""
+    recs = records.filter(F.col("occupation_literal").isNotNull()).select(
+        "record_uri", "occupation_literal"
+    )
+    if block_first_char:
+        cond = F.substring(recs.occupation_literal, 1, 1) == F.substring(occupations.label, 1, 1)
+        cands = recs.join(F.broadcast(occupations), cond)
+    else:
+        cands = recs.crossJoin(F.broadcast(occupations))
+
+    scored = cands.withColumn(
+        "score", jaro_winkler(F.col("occupation_literal"), F.col("label"))
+    ).filter(F.col("score") >= threshold)
+
+    w = Window.partitionBy("record_uri").orderBy(F.col("score").desc(), F.col("occ_uri").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("record_uri").alias("subj"),
+        F.lit(NS.BIOC + "has_occupation").alias("pred"),
+        F.col("occ_uri").alias("obj"),
+        F.lit("uri").alias("obj_type"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit("occupation_links").alias("graph_kind"),
+    )

@@ -1,0 +1,42 @@
+"""J3 — rank linking: rank literal -> rank ontology URI.
+
+Reference behavior (link_ranks call, src/linker.py:267-270): after the
+URI_MAPPINGS literal repairs ('Alipuseeri'->'Aliupseeri', 'Alikers'->
+'Alikersantti', src/process.py:24-25, applied in the records stage), the
+SOTARVO literal is matched against rank prefLabels/altLabels by
+case-insensitive label equality. Spark plan: broadcast hash equi-join on
+lower(label) + deterministic per-record argmax (prefLabel over altLabel,
+then rank_uri — the reference's dict iteration order is made a stable total
+order, SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import namespaces as NS
+
+
+def link_ranks(records: DataFrame, rank_labels: DataFrame) -> DataFrame:
+    """-> triples (record_uri, SCHEMA_CAS.rank, rank_uri)."""
+    cands = (
+        records.filter(F.col("rank_literal").isNotNull())
+        .select("record_uri", "rank_literal")
+        .join(
+            F.broadcast(rank_labels),
+            F.lower(F.trim(F.col("rank_literal"))) == F.lower(F.col("label")),
+        )
+    )
+    w = Window.partitionBy("record_uri").orderBy(
+        F.col("is_pref").desc(), F.col("rank_uri").asc()
+    )
+    best = cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("record_uri").alias("subj"),
+        F.lit(NS.cas("rank")).alias("pred"),
+        F.col("rank_uri").alias("obj"),
+        F.lit("uri").alias("obj_type"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit("rank_links").alias("graph_kind"),
+    )

@@ -1,0 +1,177 @@
+"""J1/J2 — military-unit linking, the reference's hardest linker
+(src/linker.py:117-208).
+
+Two-phase dataflow with an explicit short-circuit (the cost-based structure
+Catalyst can't invent, SURVEY §4.3):
+
+* **Path A** (records with a cover number): broadcast equi-join
+  records⋈units ON unit_code = covernumber, score every candidate label
+  against the record's unit literal, per-record argmax, accept when
+  best >= COVER_NUMBER_SCORE_LIMIT (=20, src/linker.py:129,177).
+* **left_anti** — records with no cover number OR a sub-threshold best
+  (src/linker.py:188) fall through to
+* **Path B**: Winter-War period tagging (death < 1941-06-25 string compare,
+  src/linker.py:189-192), abbreviation-expanding preprocessor (P14), word
+  n-gram explode (ARPA maxNGrams bound, BASELINE.md), and a normalized-label
+  equi-join replicating units.sparql:25
+  ``LCASE(REPLACE(label,'[,./\\s]','')) = LCASE(REPLACE(ngram,...))``,
+  disambiguated by the war-period validator (prefer candidates whose
+  conflict matches the record's period) then longest-ngram/URI tie-break.
+
+Skew note: unit labels are Zipfian; path B joins on the *normalized label*
+key against a broadcast dictionary, so the big side never shuffles — skew
+materializes only in per-task candidate fan-out, bounded by the n-gram cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import namespaces as NS
+from ..functions.dates import date_cmp_str
+from ..functions.similarity import ascii_fold, levenshtein_ratio
+
+COVER_NUMBER_SCORE_LIMIT = 20
+MAX_NGRAM = 3
+WINTER_WAR_CUTOFF = "1941-06-25"
+
+# Finnish unit-type abbreviation expansions (the role of the
+# warsa_linkers.units preprocessor imported at src/linker.py:28 — a
+# deterministic regex table; longest-key-first application).
+ABBREVIATIONS = [
+    (r"Raja\.?JP", "Rajajääkäripataljoona"),
+    (r"It\.?Psto", "Ilmatorjuntapatteristo"),
+    (r"Kev\.?Os", "Kevyt Osasto"),
+    (r"Pion\.?P", "Pioneeripataljoona"),
+    (r"Er\.?P", "Erillinen Pataljoona"),
+    (r"Tyk\.?KK", "Tykistökoulutuskeskus"),
+    (r"Laiv\.?E", "Laivaston Esikunta"),
+    (r"RatsuR", "Ratsuväkirykmentti"),
+    (r"Le\.?R", "Lentorykmentti"),
+    (r"KTR", "Kenttätykistörykmentti"),
+    (r"V\.?P", "Viestipataljoona"),
+    (r"JR", "Jalkaväkirykmentti"),
+    (r"JP", "Jääkäripataljoona"),
+]
+
+
+def preprocess_unit(col: F.Column) -> F.Column:
+    """P14 unit-literal preprocessor: expand abbreviations, collapse space."""
+    out = col
+    for pat, repl in ABBREVIATIONS:
+        out = F.regexp_replace(out, r"\b" + pat + r"\b", repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def normalize_label(col: F.Column) -> F.Column:
+    """units.sparql:25 normalization: strip [,./ \\s], lowercase."""
+    return F.lower(F.regexp_replace(col, r"[,./\s]", ""))
+
+
+def _link_row(subj: F.Column, unit: F.Column) -> list[F.Column]:
+    return [
+        subj.alias("subj"),
+        F.lit(NS.cas("unit")).alias("pred"),
+        unit.alias("obj"),
+        F.lit("uri").alias("obj_type"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit("unit_links").alias("graph_kind"),
+    ]
+
+
+def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (unit link triples, related-period triples).
+
+    ``unit_labels``: exploded (unit_uri, label, cover_number, conflict).
+    """
+    recs = records.select(
+        "record_uri", "unit_code", "unit_literal",
+        date_cmp_str(F.col("date_of_death"), F.col("date_of_death_str")).alias("death_cmp"),
+    )
+
+    # ---- Path A: cover-number join + fuzzy argmax ----
+    with_cover = recs.filter(F.col("unit_code").isNotNull())
+    cands_a = with_cover.join(
+        F.broadcast(unit_labels.filter(F.col("cover_number").isNotNull())),
+        F.col("unit_code") == F.col("cover_number"),
+    )
+    # score = edit-distance ratio on accent-folded raw label vs literal
+    # (reference: max fuzz.ratio over the unit's labels, src/linker.py:171)
+    scored_a = cands_a.withColumn(
+        "score",
+        levenshtein_ratio(ascii_fold(F.col("label")), ascii_fold(F.col("unit_literal"))),
+    )
+    per_unit = scored_a.groupBy("record_uri", "unit_uri").agg(F.max("score").alias("score"))
+    w = Window.partitionBy("record_uri").orderBy(F.col("score").desc(), F.col("unit_uri").asc())
+    best_a = per_unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    links_a = best_a.filter(F.col("score") >= COVER_NUMBER_SCORE_LIMIT)
+
+    # ---- fall-through set: no cover OR sub-threshold best (src/linker.py:188)
+    failed_a = best_a.filter(F.col("score") < COVER_NUMBER_SCORE_LIMIT).select("record_uri")
+    path_b_recs = recs.filter(F.col("unit_code").isNull()).select("record_uri").unionByName(failed_a)
+    path_b = recs.join(path_b_recs, "record_uri", "left_semi")
+
+    # Winter-War tagging (string compare on the literal the reference sees)
+    period = path_b.filter(F.col("death_cmp") < WINTER_WAR_CUTOFF).select(
+        F.col("record_uri").alias("subj"),
+        F.lit(NS.RELATED_PERIOD).alias("pred"),
+        F.lit(NS.WINTER_WAR).alias("obj"),
+        F.lit("uri").alias("obj_type"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit("unit_links").alias("graph_kind"),
+    )
+
+    # ---- Path B: n-gram candidates against normalized labels ----
+    # guard: sequence(1, 0) would produce a *descending* sequence in Spark,
+    # so empty/missing literals must be filtered before n-gram generation
+    prep = (
+        path_b.filter(F.col("unit_literal").isNotNull() & (F.trim("unit_literal") != ""))
+        .withColumn("prep", preprocess_unit(F.col("unit_literal")))
+        .withColumn("tokens", F.split(F.col("prep"), r"\s+"))
+        .filter(F.size("tokens") > 0)
+    )
+    # contiguous word n-grams, n = 1..MAX_NGRAM
+    ngrams = prep.select(
+        "record_uri", "death_cmp",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(MAX_NGRAM), F.size("tokens"))),
+                    lambda n: F.transform(
+                        F.sequence(F.lit(0), F.size("tokens") - n),
+                        lambda i: F.array_join(F.slice("tokens", i + 1, n), " "),
+                    ),
+                )
+            )
+        ).alias("ngram"),
+    )
+    dim_b = F.broadcast(
+        unit_labels.select(
+            "unit_uri", "conflict", normalize_label(F.col("label")).alias("norm_label")
+        )
+    )
+    cands_b = ngrams.withColumn("norm_ngram", normalize_label(F.col("ngram"))).join(
+        dim_b, F.col("norm_ngram") == F.col("norm_label")
+    )
+    # war-period validator (Validator(temp_graph) disambiguation,
+    # src/linker.py:202-208): candidates whose conflict matches the record's
+    # period win; then longest ngram, then URI.
+    record_period = F.when(
+        F.col("death_cmp") < WINTER_WAR_CUTOFF, F.lit(NS.WINTER_WAR)
+    ).otherwise(F.lit(NS.CONTINUATION_WAR))
+    validated = cands_b.withColumn(
+        "period_match", (F.col("conflict") == record_period).cast("int")
+    )
+    wb = Window.partitionBy("record_uri").orderBy(
+        F.col("period_match").desc(),
+        F.length("norm_ngram").desc(),
+        F.col("unit_uri").asc(),
+    )
+    best_b = validated.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+
+    links = links_a.select(*_link_row(F.col("record_uri"), F.col("unit_uri"))).unionByName(
+        best_b.select(*_link_row(F.col("record_uri"), F.col("unit_uri")))
+    ).dropDuplicates(["subj", "pred", "obj"])
+    return links, period

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+language ID (n-gram/stopword heuristic), quality scoring, token counting,
+and document fingerprinting. All JVM-side built-ins (regexp counts, array
+ops) so they survive the 100 TB scan without Python in the loop; a true
+rolling-hash fingerprint is provided as an Arrow pandas UDF variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+FI_STOPWORDS = ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta"]
+EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
+
+
+def _word_matches(text: Column, vocab: list[str]) -> Column:
+    pat = r"\b(" + "|".join(vocab) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def language_id(text: Column) -> Column:
+    """'fi' | 'en' | 'und' by stopword/character-ngram evidence."""
+    fi = _word_matches(text, FI_STOPWORDS) + F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[äö]"), F.lit(0))
+    )
+    en = _word_matches(text, EN_STOPWORDS)
+    return (
+        F.when((fi > en) & (fi > 0), F.lit("fi"))
+        .when((en > fi) & (en > 0), F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+BPE_ISH_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex tokenization (letters / digit runs / punct as separate
+    tokens) — the pre-tokenizer shape GPT-style BPEs use."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + punctuation ratio + stopword
+    presence + mean word length band (the classic Gopher/C4-style filters)."""
+    n_chars = F.length(text)
+    words = F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(1.0))
+    stop = _word_matches(text, FI_STOPWORDS + EN_STOPWORDS)
+    stop_ratio = F.when(n_words > 0, stop.cast("double") / n_words).otherwise(F.lit(0.0))
+
+    s_len = F.when((n_chars >= 50) & (n_chars <= 20000), 0.25).otherwise(0.0)
+    s_punct = F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+    s_stop = F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+    s_wlen = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 0.25).otherwise(0.0)
+    return (s_len + s_punct + s_stop + s_wlen).cast("double")
+
+
+def fingerprint_sorted_words(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted word
+    multiset — catches shuffled/near-identical boilerplate."""
+    words = F.array_sort(F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != ""))
+    return F.md5(F.array_join(words, " "))
+
+
+@F.pandas_udf(T.LongType())
+def rolling_hash_fingerprint(texts: pd.Series) -> pd.Series:
+    """Rabin-Karp rolling polynomial hash (base 257, mod 2^61-1) over UTF-8
+    bytes — the true rolling-hash variant (not SQL-expressible; rows-only
+    checked by the driver)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        out[i] = h
+    return pd.Series(out)
+
+
+def document_profile(documents: DataFrame) -> DataFrame:
+    """One row per doc with all text-analysis signals."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        language_id(t).alias("lang_id"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        quality_score(t).alias("quality"),
+        fingerprint_sorted_words(t).alias("fingerprint"),
+    )

@@ -1,0 +1,178 @@
+"""T5 — triple materialization and graph-algebra primitives.
+
+The rdflib Graph IR of the reference becomes the triples DataFrame
+(schema.TRIPLES_SCHEMA). Graph union-with-dedup (src/linker.py:208,
+src/person_generator.py:221-228) is ``union_graphs``; pattern removal
+(src/linker.py:95-96, src/process.py:100,105) is ``remove_pattern``;
+the direct URI-object rewrites of src/process.py:22-43 are
+``fix_by_direct_uri_mappings``. Row→triples unpivot (map_row_to_rdf,
+src/csv_to_rdf.py:36-92) is a single explode over a struct array — one
+scan, zero joins except the broadcast cemetery existence check
+(src/csv_to_rdf.py:112-114).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import namespaces as NS
+from ..dims import GRAVEYARD_MAPPING, URI_MAPPINGS
+from ..schema import TRIPLE_COLS
+
+XSD_DATE = NS.XSD + "date"
+XSD_INTEGER = NS.XSD + "integer"
+
+# (record column, predicate URI, kind) — kind: uri | literal | int | date
+PROPERTY_SPEC = [
+    ("family_name", NS.warsa("family_name"), "literal"),
+    ("given_names", NS.warsa("given_names"), "literal"),
+    ("pref_label", NS.SKOS_PREF_LABEL, "literal"),
+    ("marital_uri", NS.warsa("marital_status"), "uri"),
+    ("gender_uri", NS.warsa("gender"), "uri"),
+    ("citizenship_uri", NS.warsa("citizenship"), "uri"),
+    ("nationality_uri", NS.warsa("nationality"), "uri"),
+    ("mother_tongue_uri", NS.warsa("mother_tongue"), "uri"),
+    ("number_of_children", NS.warsa("number_of_children"), "int"),
+    ("occupation_literal", NS.warsa("occupation_literal"), "literal"),
+    ("rank_literal", NS.cas("rank_literal"), "literal"),
+    ("unit_code", NS.cas("unit_code"), "literal"),
+    ("unit_literal", NS.cas("unit_literal"), "literal"),
+    ("date_of_birth", NS.warsa("date_of_birth"), "date"),
+    ("municipality_of_birth", NS.cas("municipality_of_birth"), "uri"),
+    ("municipality_of_domicile", NS.cas("municipality_of_domicile"), "uri"),
+    ("municipality_of_residence", NS.cas("municipality_of_residence"), "uri"),
+    ("date_of_wounding", NS.warsa("date_of_wounding"), "date"),
+    ("municipality_of_wounding", NS.cas("municipality_of_wounding"), "uri"),
+    ("place_of_wounding", NS.warsa("place_of_wounding"), "literal"),
+    ("date_of_going_mia", NS.warsa("date_of_going_mia"), "date"),
+    ("municipality_of_going_mia", NS.cas("municipality_of_going_mia"), "uri"),
+    ("place_of_going_mia_literal", NS.warsa("place_of_going_mia_literal"), "literal"),
+    ("date_of_death", NS.warsa("date_of_death"), "date"),
+    ("municipality_of_death", NS.cas("municipality_of_death"), "uri"),
+    ("place_of_death_literal", NS.warsa("place_of_death_literal"), "literal"),
+    ("perishing_uri", NS.cas("perishing_category"), "uri"),
+    ("municipality_of_burial", NS.cas("municipality_of_burial"), "uri"),
+    ("place_of_burial_number", NS.cas("place_of_burial_number"), "literal"),
+    ("additional_information", NS.cas("additional_information"), "literal"),
+]
+
+DEATH_RECORD_TYPE = NS.warsa("DeathRecord")
+
+_TRIPLE_STRUCT_FIELDS = "pred string, obj string, obj_type string, lang string, datatype string"
+
+
+def _entry(pred: str, obj: F.Column, obj_type: str, datatype: F.Column | None = None):
+    dt = datatype if datatype is not None else F.lit(None).cast("string")
+    return F.when(
+        obj.isNotNull(),
+        F.struct(
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(obj_type).alias("obj_type"),
+            F.lit(None).cast("string").alias("lang"),
+            dt.alias("datatype"),
+        ),
+    )
+
+
+def records_to_triples(records: DataFrame, cemeteries_dim: DataFrame, graph_kind: str = "casualties") -> DataFrame:
+    """Wide silver record -> long (subj, pred, obj) rows (P1 unpivot) plus the
+    graveyard URI construction/validation (P11, src/csv_to_rdf.py:94-121)."""
+    # graveyard handling: mint h{code}_{n} URI, apply the two overrides,
+    # existence-check against the cemeteries dimension (broadcast join).
+    mun_code = F.regexp_extract("municipality_of_burial", r"/k([^/]*)$", 1)
+    gy_raw = F.when(
+        F.col("municipality_of_burial").isNotNull() & F.col("graveyard_number").isNotNull(),
+        F.concat(F.lit(NS.CEMETERIES + "h"), mun_code, F.lit("_"), F.col("graveyard_number")),
+    )
+    gy_mapped = gy_raw
+    for bad, good in GRAVEYARD_MAPPING:
+        gy_mapped = F.when(gy_mapped == bad, F.lit(good)).otherwise(gy_mapped)
+
+    recs = records.withColumn("gy_uri", gy_mapped).join(
+        F.broadcast(cemeteries_dim.withColumnRenamed("cem_uri", "gy_uri").withColumn("gy_exists", F.lit(True))),
+        "gy_uri",
+        "left",
+    ).withColumn("gy_exists", F.coalesce("gy_exists", F.lit(False)))
+
+    entries = []
+    for col, pred, kind in PROPERTY_SPEC:
+        c = F.col(col)
+        if kind == "uri":
+            entries.append(_entry(pred, c, "uri"))
+        elif kind == "literal":
+            entries.append(_entry(pred, F.nullif(c, F.lit("")), "literal"))
+        elif kind == "int":
+            entries.append(_entry(pred, c.cast("string"), "literal", F.lit(XSD_INTEGER)))
+        elif kind == "date":
+            obj = F.coalesce(F.date_format(c, "yyyy-MM-dd"), F.col(col + "_str"))
+            dt = F.when(c.isNotNull(), F.lit(XSD_DATE))
+            entries.append(_entry(pred, obj, "literal", dt))
+
+    # graveyard_number kept only when the URI was not resolved against the
+    # ontology (reference removes it otherwise, src/csv_to_rdf.py:119).
+    entries.append(
+        _entry(
+            NS.cas("graveyard_number"),
+            F.when(~F.col("gy_exists"), F.col("graveyard_number")),
+            "literal",
+        )
+    )
+    # buried_in only for existing cemetery URIs with numeric graveyard number
+    # (src/csv_to_rdf.py:116-117).
+    entries.append(
+        _entry(
+            NS.warsa("buried_in"),
+            F.when(F.col("gy_exists") & F.col("graveyard_number").rlike("^[0-9]+$"), F.col("gy_uri")),
+            "uri",
+        )
+    )
+    # rdf:type DeathRecord (src/csv_to_rdf.py:82)
+    entries.append(_entry(NS.RDF_TYPE, F.lit(DEATH_RECORD_TYPE), "uri"))
+
+    exploded = recs.select(
+        F.col("record_uri").alias("subj"),
+        F.explode(F.array_compact(F.array(*entries))).alias("t"),
+    )
+    return exploded.select(
+        "subj", "t.pred", "t.obj", "t.obj_type", "t.lang", "t.datatype",
+        F.lit(graph_kind).alias("graph_kind"),
+    )
+
+
+def union_graphs(*graphs: DataFrame) -> DataFrame:
+    """Graph union with RDF set semantics (U1): unionByName + dedup on
+    (subj, pred, obj)."""
+    out = graphs[0]
+    for g in graphs[1:]:
+        out = out.unionByName(g, allowMissingColumns=True)
+    return out.dropDuplicates(TRIPLE_COLS)
+
+
+def remove_pattern(graph: DataFrame, pred: str | None = None, obj: str | None = None) -> DataFrame:
+    """graph.remove((None, pred, obj)) as a filter (U3)."""
+    cond = F.lit(True)
+    if pred is not None:
+        cond = cond & (F.col("pred") == pred)
+    if obj is not None:
+        cond = cond & (F.col("obj") == obj)
+    return graph.filter(~cond)
+
+
+def fix_by_direct_uri_mappings(graph: DataFrame) -> DataFrame:
+    """Rewrite the five known-bad object values across the whole graph
+    (src/process.py:22-43) — a chained CASE, no join needed for 5 constants."""
+    obj = F.col("obj")
+    for bad, good in URI_MAPPINGS:
+        obj = F.when(obj == bad, F.lit(good)).otherwise(obj)
+    return graph.withColumn("obj", obj).dropDuplicates(TRIPLE_COLS)
+
+
+def subjects_by_po(graph: DataFrame, pred: str, obj: str) -> DataFrame:
+    """graph[:pred:obj] subject scan (SURVEY §2.8)."""
+    return graph.filter((F.col("pred") == pred) & (F.col("obj") == obj)).select("subj")
+
+
+def objects_of(graph: DataFrame, pred: str) -> DataFrame:
+    """graph.objects(None, pred) — (subj, obj) pairs for a predicate."""
+    return graph.filter(F.col("pred") == pred).select("subj", "obj")

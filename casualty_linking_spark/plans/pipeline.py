@@ -1,0 +1,148 @@
+"""Stage-DAG pipeline driver: T0 transcripts → T5 triples, each stage an
+idempotent partitioned table write with lineage + metrics, resumable per
+stage (the Spark re-expression of the reference's process.sh file-handoff
+DAG, SURVEY §3 — `process.sh:14-52` stage order preserved).
+
+Resume model: a stage re-runs only when its fingerprint (code version +
+input-stage fingerprints) changed; otherwise its table is read back. Within
+a stage, writes use dynamic partition overwrite, so a re-run after partial
+failure replaces only the partitions it produces (Iceberg
+overwrite-by-partition semantics on parquet).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import dims
+from ..operators import extract, records as REC
+from ..operators.link_occupations import link_occupations
+from ..operators.link_persons import casualty_features, connected_components, link_persons
+from ..operators.link_ranks import link_ranks
+from ..operators.link_units import link_units
+from ..operators.persons_generate import generate_persons
+from ..operators.triples import records_to_triples, union_graphs
+from . import storage
+
+CODE_VERSION = "r1"
+
+
+class Pipeline:
+    """End-to-end KG construction over a transcripts DataFrame source."""
+
+    def __init__(self, spark: SparkSession, root: str, transcripts: DataFrame, actors: DataFrame | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.transcripts = transcripts
+        self.actors = actors
+        self.dims = dims.broadcast_dims(spark)
+        self._fps: dict[str, str] = {}
+
+    # -- stage machinery ----------------------------------------------------
+
+    def _fingerprint(self, stage: str, inputs: list[str]) -> str:
+        basis = CODE_VERSION + "|" + stage + "|" + ",".join(self._fps.get(i, i) for i in inputs)
+        return hashlib.md5(basis.encode()).hexdigest()
+
+    def _stage(
+        self,
+        name: str,
+        inputs: list[str],
+        build,
+        partition_by: list[str] | None = None,
+        metrics_keys: list[str] | None = None,
+    ) -> DataFrame:
+        path = f"{self.root}/{name}"
+        fp = self._fingerprint(name, inputs)
+        self._fps[name] = fp
+        man = storage.read_manifest(path)
+        if man and man.get("fingerprint") == fp:
+            return self.spark.read.parquet(path)
+        df = build()
+        storage.write_table(df, path, partition_by=partition_by)
+        out = self.spark.read.parquet(path)
+        n = out.count()
+        storage.write_manifest(path, storage.snapshot_manifest(name, fp, n, inputs))
+        keys = metrics_keys or partition_by
+        if keys:
+            storage.write_table(
+                storage.partition_metrics(out, keys), f"{self.root}/metrics/{name}"
+            )
+        return out
+
+    # -- stages --------------------------------------------------------------
+
+    def run(self) -> DataFrame:
+        t0 = self._stage("t0_transcripts", [], lambda: self.transcripts)
+
+        t1 = self._stage(
+            "t1_mentions", ["t0_transcripts"], lambda: extract.extract_mentions(t0)
+        )
+        t2 = self._stage(
+            "t2_records",
+            ["t1_mentions"],
+            lambda: REC.build_records(extract.mentions_to_raw_records(t1)),
+        )
+        self._stage(
+            "t2_errors", ["t2_records"], lambda: REC.record_errors(t2),
+            metrics_keys=["column", "error"],
+        )
+
+        rank_links = self._stage(
+            "t3_rank_links", ["t2_records"], lambda: link_ranks(t2, self.dims["rank_labels"])
+        )
+        occ_links = self._stage(
+            "t3_occupation_links", ["t2_records"],
+            lambda: link_occupations(t2, self.dims["occupations"]),
+        )
+        unit_links = self._stage(
+            "t3_unit_links", ["t2_records"],
+            lambda: link_units(t2, self.dims["unit_labels"])[0],
+        )
+        periods = self._stage(
+            "t3_related_periods", ["t2_records"],
+            lambda: link_units(t2, self.dims["unit_labels"])[1],
+        )
+
+        person_links = None
+        if self.actors is not None:
+            feats = self._stage(
+                "t4_features",
+                ["t2_records", "t3_rank_links", "t3_unit_links"],
+                lambda: casualty_features(
+                    t2, rank_links, unit_links,
+                    dims.dim_ranks(self.spark), dims.dim_municipalities(self.spark),
+                ),
+            )
+            person_links = self._stage(
+                "t4_person_links", ["t4_features"],
+                lambda: link_persons(feats, self.actors),
+            )
+            self._stage(
+                "t4_components", ["t4_person_links"],
+                lambda: connected_components(
+                    person_links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+                ),
+            )
+
+        cas = records_to_triples(t2, self.dims["cemeteries"])
+        graphs = [cas, rank_links, occ_links, unit_links, periods]
+        if person_links is not None:
+            graphs.append(person_links)
+            gen = generate_persons(
+                t2, person_links, occ_links, rank_links, unit_links,
+                dims.dim_municipalities(self.spark), dims.dim_rank_labels(self.spark),
+            )
+            graphs.extend(gen.values())
+
+        triples = self._stage(
+            "t5_triples",
+            ["t2_records", "t3_rank_links", "t3_occupation_links", "t3_unit_links"]
+            + (["t4_person_links"] if person_links is not None else []),
+            lambda: union_graphs(*graphs),
+            partition_by=["graph_kind"],
+            metrics_keys=["graph_kind", "pred"],
+        )
+        return triples

@@ -1,0 +1,571 @@
+"""Driver-contract queries: each entry pairs a Spark callable
+(spark, sf_dir) -> DataFrame with an equivalent DuckDB oracle SQL string
+(run by the driver side-by-side at sf=0.01, CORRECTNESS_r{N}.json).
+
+Both sides start from the same deterministic pid stream (customer.c_custkey)
+through synth.py. The Spark side runs the real operators; the oracle is an
+independent re-computation: pure SQL where expressible (joins, window argmax,
+date-repair expression chains) and literal expected-value CASE tables
+(rendered at import time by the scalar reference-mirror functions in
+functions/names.py) where ANSI SQL cannot express the semantics
+(Python title-casing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import dims, namespaces as NS, synth
+from .functions.dates import duckdb_convert_date_exprs
+from .functions.names import unify_family_py, unify_given_py
+from .functions.similarity import duckdb_ascii_fold, duckdb_levenshtein_ratio
+from .operators import extract, records as REC
+from .operators.link_municipalities import link_municipalities
+from .operators.link_occupations import link_occupations
+from .operators.link_ranks import link_ranks
+from .operators.link_units import link_units
+from .operators.triples import records_to_triples, union_graphs
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def build_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    return REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t)))
+
+
+def _case20(values: list[str]) -> str:
+    return synth._case_over_mod("pid", values)
+
+
+def _expected_family_sql() -> str:
+    """Unified family name as a literal CASE over pid — expected values
+    computed by the scalar mirror of the reference rules (title-casing is not
+    ANSI-SQL-expressible)."""
+    n = len(synth.FAMILIES)
+    base = synth.FAMILIES
+    dirt0 = _case20([unify_family_py(f.replace("O", "0")) for f in base])
+    dirt1 = _case20([unify_family_py(f"{base[i]} ENT. {base[(i + 3) % n]}") for i in range(n)])
+    dirt2 = _case20([unify_family_py(f"{base[i]}%{base[(i + 3) % n]}") for i in range(n)])
+    clean = _case20([unify_family_py(f) for f in base])
+    return (
+        f"CASE WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
+        f"WHEN pid % 29 = 13 THEN {dirt2} ELSE {clean} END"
+    )
+
+
+def _expected_given_sql() -> str:
+    return synth._case_over_mod("pid", [unify_given_py(g) for g in synth.GIVENS])
+
+
+def _enum_expected_sql(keys: list[str], kind: str, expr: str) -> str:
+    ns, table = dims.CODE_TABLES[kind]
+    vals = [ns + table.get(k if k else None, table[None]) for k in keys]
+    return synth._case_over_mod(expr, vals)
+
+
+def _fixed_rank_sql() -> str:
+    return (
+        "CASE WHEN sotarvo = 'Alipuseeri' THEN 'Aliupseeri' "
+        "WHEN sotarvo = 'Alikers' THEN 'Alikersantti' ELSE nullif(sotarvo, '') END"
+    )
+
+
+_SUBJ_SQL = "'http://ldf.fi/warsa/casualties/p' || CAST(pid AS VARCHAR)"
+
+_BIRTH_DATE, _BIRTH_STR = duckdb_convert_date_exprs("saika")
+_DEATH_DATE, _DEATH_STR = duckdb_convert_date_exprs("kuolinaika")
+_DEATH_CMP = f"coalesce(CAST(({_DEATH_DATE}) AS VARCHAR), {_DEATH_STR})"
+
+
+# ---------------------------------------------------------------------------
+# q: silver records
+# ---------------------------------------------------------------------------
+
+SILVER_COLS = [
+    "person_id", "record_uri", "family_name", "given_names", "pref_label",
+    "marital_uri", "gender_uri", "citizenship_uri", "nationality_uri",
+    "mother_tongue_uri", "perishing_uri", "number_of_children",
+    "occupation_literal", "rank_literal", "unit_code", "unit_literal",
+    "municipality_of_birth", "municipality_of_death", "municipality_of_burial",
+    "date_of_birth", "date_of_birth_str", "date_of_death", "date_of_death_str",
+    "graveyard_number", "place_of_burial_number", "additional_information",
+]
+
+
+def q_records_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_silver(spark, sf_dir).select(*SILVER_COLS)
+
+
+def oracle_records_silver() -> str:
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    mun_pref = REC.MUNICIPALITY_PREFIX
+    sel = f"""
+SELECT
+  pid AS person_id,
+  {_SUBJ_SQL} AS record_uri,
+  {fam} AS family_name,
+  {giv} AS given_names,
+  ({fam}) || ', ' || ({giv}) AS pref_label,
+  {_enum_expected_sql(synth.MARITAL_KEYS, "marital", "pid")} AS marital_uri,
+  {_enum_expected_sql(synth.GENDER_KEYS, "gender", "pid + 1")} AS gender_uri,
+  {_enum_expected_sql(synth.CITIZEN_KEYS, "citizenship", "pid + 2")} AS citizenship_uri,
+  {_enum_expected_sql(synth.CITIZEN_KEYS, "nationality", "pid + 2")} AS nationality_uri,
+  {_enum_expected_sql(synth.LANGUAGE_KEYS, "language", "pid")} AS mother_tongue_uri,
+  {_enum_expected_sql(synth.PERISHING_KEYS, "perishing", "pid")} AS perishing_uri,
+  CASE WHEN pid % 13 IN (6, 7) THEN NULL ELSE CAST(pid % 6 AS INT) END AS number_of_children,
+  lower(ammatti) AS occupation_literal,
+  {_fixed_rank_sql()} AS rank_literal,
+  nullif(joskoodi, '') AS unit_code,
+  nullif(trim(josnimi), '') AS unit_literal,
+  '{mun_pref}' || skunta AS municipality_of_birth,
+  '{mun_pref}' || kuolinkunta AS municipality_of_death,
+  '{mun_pref}' || hkunta AS municipality_of_burial,
+  {_BIRTH_DATE} AS date_of_birth,
+  {_BIRTH_STR} AS date_of_birth_str,
+  {_DEATH_DATE} AS date_of_death,
+  {_DEATH_STR} AS date_of_death_str,
+  nullif(hmaa, '') AS graveyard_number,
+  nullif(hpaikka, '') AS place_of_burial_number,
+  CASE WHEN vapaa_paikkatieto IS NULL OR vapaa_paikkatieto = '' THEN NULL
+       WHEN instr('kuolemanrangaistus', lower(vapaa_paikkatieto)) > 0
+         OR instr('teloitettu', lower(vapaa_paikkatieto)) > 0
+         OR instr('ammuttu', lower(vapaa_paikkatieto)) > 0 THEN NULL
+       ELSE vapaa_paikkatieto END AS additional_information
+FROM records"""
+    return synth.oracle_prelude() + sel
+
+
+# ---------------------------------------------------------------------------
+# q: quarantine errors
+# ---------------------------------------------------------------------------
+
+def q_record_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    return REC.record_errors(rec).select("person_id", "name", "column", "error", "value")
+
+
+def oracle_record_errors() -> str:
+    def err_block(col: str, tgt_date: str, tgt_str: str, after: str, before: str) -> str:
+        return f"""
+SELECT CAST(pid AS VARCHAR) AS person_id,
+  concat_ws(' ', nullif(snimi, ''), nullif(given_raw, '')) AS name,
+  '{col}' AS "column",
+  CASE WHEN ({tgt_str}) IS NOT NULL AND substr({tgt_str}, 1, 2) != 'xx' THEN 'Päivämäärä ei ole kelvollinen'
+       WHEN ({tgt_date}) IS NOT NULL AND ({tgt_date}) < DATE '{after}' THEN 'Päivämäärä liian varhainen'
+       WHEN ({tgt_date}) IS NOT NULL AND ({tgt_date}) > DATE '{before}' THEN 'Päivämäärä liian myöhäinen'
+       END AS error,
+  {'saika' if col == 'SAIKA' else 'kuolinaika'} AS value
+FROM records"""
+
+    import datetime
+    today = datetime.date.today().isoformat()
+    saika = err_block("SAIKA", _BIRTH_DATE, _BIRTH_STR, "1860-01-01", "1935-01-01")
+    kuolin = err_block("KUOLINAIKA", _DEATH_DATE, _DEATH_STR, "1939-11-30", today)
+    return (
+        synth.oracle_prelude()
+        + f"SELECT * FROM (({saika}) UNION ALL ({kuolin})) WHERE error IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q: rank links
+# ---------------------------------------------------------------------------
+
+def q_link_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    return link_ranks(rec, dims.dim_rank_labels(spark)).select("subj", "pred", "obj")
+
+
+def oracle_link_ranks() -> str:
+    sel = f"""
+SELECT subj, pred, obj FROM (
+  SELECT {_SUBJ_SQL} AS subj,
+         '{NS.cas("rank")}' AS pred,
+         rank_uri AS obj,
+         row_number() OVER (PARTITION BY pid ORDER BY is_pref DESC, rank_uri ASC) AS rn
+  FROM (SELECT pid, {_fixed_rank_sql()} AS rank_literal FROM records) r
+  JOIN rank_labels ON lower(trim(r.rank_literal)) = lower(label)
+) WHERE rn = 1"""
+    return synth.oracle_prelude([dims.rank_labels_cte()]) + sel
+
+
+# ---------------------------------------------------------------------------
+# q: occupation links (Jaro-Winkler >= 0.88)
+# ---------------------------------------------------------------------------
+
+def q_link_occupations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    return link_occupations(rec, dims.dim_occupations(spark)).select("subj", "pred", "obj")
+
+
+def oracle_link_occupations() -> str:
+    sel = f"""
+SELECT subj, pred, obj FROM (
+  SELECT {_SUBJ_SQL} AS subj,
+         '{NS.BIOC}has_occupation' AS pred,
+         occ_uri AS obj,
+         jaro_winkler_similarity(lower(ammatti), label) AS score,
+         row_number() OVER (
+           PARTITION BY pid
+           ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
+         ) AS rn
+  FROM records CROSS JOIN occupations
+  WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88
+) WHERE rn = 1"""
+    return synth.oracle_prelude([dims.occupations_cte()]) + sel
+
+
+# ---------------------------------------------------------------------------
+# q: unit links (path A cover join + path B n-gram) and related periods
+# ---------------------------------------------------------------------------
+
+def q_link_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    links, _ = link_units(rec, dims.dim_unit_labels(spark))
+    return links.select("subj", "pred", "obj")
+
+
+def q_related_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    _, period = link_units(rec, dims.dim_unit_labels(spark))
+    return period.select("subj", "pred", "obj")
+
+
+def _unit_common_ctes() -> list[str]:
+    from .operators.link_units import ABBREVIATIONS
+
+    # NB: DuckDB string literals do NOT process backslash escapes, so the
+    # regex metachars go in verbatim ('\b', '\s').
+    prep = "nullif(trim(josnimi), '')"
+    for pat, repl in ABBREVIATIONS:
+        pat_sql = pat.replace("'", "''")
+        prep = f"regexp_replace({prep}, '\\b{pat_sql}\\b', '{repl}', 'g')"
+    prep = f"trim(regexp_replace({prep}, '\\s+', ' ', 'g'))"
+
+    score = duckdb_levenshtein_ratio(
+        duckdb_ascii_fold("label"), duckdb_ascii_fold("unit_literal")
+    )
+    return [
+        f"""recs2 AS (
+  SELECT pid, nullif(joskoodi, '') AS unit_code, nullif(trim(josnimi), '') AS unit_literal,
+         {prep} AS prep, {_DEATH_CMP} AS death_cmp
+  FROM records)""",
+        f"""bestA AS (
+  SELECT pid, unit_uri, score, row_number() OVER (PARTITION BY pid ORDER BY score DESC, unit_uri ASC) AS rn
+  FROM (
+    SELECT r.pid, u.unit_uri, max({score}) AS score
+    FROM recs2 r JOIN unit_labels u ON r.unit_code = u.cover_number
+    GROUP BY r.pid, u.unit_uri
+  ))""",
+        """pathB AS (
+  SELECT r.pid, r.prep, r.death_cmp FROM recs2 r
+  LEFT JOIN (SELECT pid, score FROM bestA WHERE rn = 1) b ON r.pid = b.pid
+  WHERE r.unit_code IS NULL OR b.score < 20)""",
+        """tokens AS (
+  SELECT pid, death_cmp, string_split_regex(prep, '\\s+') AS t
+  FROM pathB WHERE prep IS NOT NULL AND prep != '')""",
+        """grams AS (
+  SELECT pid, death_cmp,
+         array_to_string(t[i : i + n - 1], ' ') AS ngram
+  FROM (
+    SELECT pid, death_cmp, t, n, unnest(generate_series(1, len(t) - n + 1)) AS i
+    FROM tokens, (VALUES (1), (2), (3)) g(n) WHERE len(t) >= n
+  ))""",
+        f"""bestB AS (
+  SELECT pid, unit_uri, row_number() OVER (
+    PARTITION BY pid
+    ORDER BY (u.conflict = CASE WHEN death_cmp < '1941-06-25' THEN '{NS.WINTER_WAR}' ELSE '{NS.CONTINUATION_WAR}' END) DESC,
+             length(lower(regexp_replace(ngram, '[,./\\s]', '', 'g'))) DESC,
+             unit_uri ASC) AS rn
+  FROM grams g JOIN unit_labels u
+    ON lower(regexp_replace(g.ngram, '[,./\\s]', '', 'g')) = lower(regexp_replace(u.label, '[,./\\s]', '', 'g')))""",
+    ]
+
+
+def oracle_link_units() -> str:
+    sel = f"""
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {_SUBJ_SQL} AS subj, '{NS.cas("unit")}' AS pred, unit_uri AS obj
+  FROM bestA WHERE rn = 1 AND score >= 20
+  UNION ALL
+  SELECT {_SUBJ_SQL} AS subj, '{NS.cas("unit")}' AS pred, unit_uri AS obj
+  FROM bestB WHERE rn = 1
+)"""
+    return synth.oracle_prelude([dims.unit_labels_cte()] + _unit_common_ctes()) + sel
+
+
+def oracle_related_periods() -> str:
+    sel = f"""
+SELECT {_SUBJ_SQL} AS subj, '{NS.RELATED_PERIOD}' AS pred, '{NS.WINTER_WAR}' AS obj
+FROM pathB WHERE death_cmp < '1941-06-25'"""
+    return synth.oracle_prelude([dims.unit_labels_cte()] + _unit_common_ctes()) + sel
+
+
+# ---------------------------------------------------------------------------
+# q: municipality linking (J5/J6)
+# ---------------------------------------------------------------------------
+
+def q_link_municipalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = dims.dim_municipalities(spark).select("mun_uri", "label")
+    out = link_municipalities(
+        base, dims.dim_pnr_labels(spark), dims.dim_warsa_labels(spark)
+    )
+    return out.select(
+        "mun_uri", "label", "current_municipality", "wartime_municipality", "preferred_municipality"
+    )
+
+
+def oracle_link_municipalities() -> str:
+    sel = """
+SELECT m.mun_uri, m.label,
+       p.pnr_uri AS current_municipality,
+       w.warsa_uri AS wartime_municipality,
+       coalesce(w.warsa_uri, p.pnr_uri, m.mun_uri) AS preferred_municipality
+FROM (SELECT mun_uri, label FROM municipalities) m
+LEFT JOIN pnr_labels p ON lower(m.label) = lower(p.label)
+LEFT JOIN warsa_labels w ON lower(m.label) = lower(w.label)"""
+    return (
+        "WITH "
+        + ",\n".join(
+            [dims.municipalities_cte(), dims.pnr_labels_cte(), dims.warsa_labels_cte()]
+        )
+        + sel
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / ANN over documents & embeddings
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def oracle_dedup_exact() -> str:
+    return """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents"""
+
+
+# shared shingle/minhash CTEs (DuckDB side of operators/dedup.py)
+_SHINGLE_CTES = """
+dwords AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), w -> w != '') AS w
+  FROM documents),
+dshingles AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i : i + 2], ' ')))) AS sh
+  FROM dwords),
+dsig AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM dshingles)
+  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS s)
+  GROUP BY doc_id, s),
+dbands AS (
+  SELECT doc_id, CAST((s - s % 3) / 3 AS INT) AS band_idx,
+         md5(CAST(CAST((s - s % 3) / 3 AS INT) AS VARCHAR) || '|' || string_agg(mh, ',' ORDER BY s)) AS band_key
+  FROM dsig GROUP BY doc_id, CAST((s - s % 3) / 3 AS INT)),
+dpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dbands a JOIN dbands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+""".strip()
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def oracle_dedup_minhash_lsh() -> str:
+    return f"WITH {_SHINGLE_CTES}\nSELECT doc_a, doc_b FROM dpairs"
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.0)
+
+
+def oracle_dedup_ngram_jaccard() -> str:
+    return f"""WITH {_SHINGLE_CTES}
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM dpairs p
+JOIN dshingles a ON p.doc_a = a.doc_id
+JOIN dshingles b ON p.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.0"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_buckets
+
+    return simhash_buckets(_docs(spark, sf_dir))
+
+
+def oracle_dedup_simhash() -> str:
+    # mirror of operators/dedup.simhash16: majority vote over distinct words,
+    # bit p from hex nibble p//4 of md5(word), weight 2^(15-p)
+    bit = (
+        "CAST(floor((instr('0123456789abcdef', substr(md5(word), CAST((p - p % 4) / 4 AS INT) + 1, 1)) - 1) "
+        "/ power(2, 3 - p % 4)) AS INT) % 2"
+    )
+    return f"""
+WITH dw AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), w -> w != '')) AS w
+  FROM documents),
+wordbits AS (
+  SELECT doc_id, p, sum({bit}) AS ones, count(*) AS total
+  FROM (SELECT doc_id, unnest(w) AS word FROM dw)
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+  GROUP BY doc_id, p),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN ones * 2 > total THEN CAST(power(2, 15 - p) AS BIGINT) ELSE 0 END) AS INT) AS simhash
+  FROM wordbits GROUP BY doc_id)
+SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id FROM sh"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import document_profile
+
+    return document_profile(_docs(spark, sf_dir))
+
+
+def oracle_text_profile() -> str:
+    from .operators.text_analysis import (
+        BPE_ISH_PATTERN, EN_STOPWORDS, FI_STOPWORDS,
+    )
+
+    fi_pat = r"\b(" + "|".join(FI_STOPWORDS) + r")\b"
+    en_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    all_pat = r"\b(" + "|".join(FI_STOPWORDS + EN_STOPWORDS) + r")\b"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(lower(text), '{fi_pat}')) + len(regexp_extract_all(lower(text), '[äö]')) AS fi_ev,
+    len(regexp_extract_all(lower(text), '{en_pat}')) AS en_ev,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens_ws,
+    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tokens_bpe,
+    length(text) AS n_chars,
+    list_filter(string_split_regex(lower(text), '\\W+'), x -> x != '') AS words,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '{all_pat}')) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN fi_ev > en_ev AND fi_ev > 0 THEN 'fi'
+       WHEN en_ev > fi_ev AND en_ev > 0 THEN 'en' ELSE 'und' END AS lang_id,
+  CAST(n_tokens_ws AS INT) AS n_tokens_ws,
+  CAST(n_tokens_bpe AS INT) AS n_tokens_bpe,
+  (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END <= 0.2 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CASE WHEN len(words) > 0 THEN CAST(n_stop AS DOUBLE) / len(words) ELSE 0.0 END >= 0.01 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN len(words) > 0 AND CAST(n_chars AS DOUBLE) / len(words) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+  ) AS quality,
+  md5(array_to_string(list_sort(words), ' ')) AS fingerprint
+FROM t"""
+
+
+EMB_DIM = 64
+N_ANN_QUERIES = 5
+ANN_K = 5
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return e.filter(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import brute_force_topk
+
+    return brute_force_topk(_embs(spark, sf_dir), _query_vectors(spark, sf_dir), k=ANN_K)
+
+
+def oracle_ann_brute_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.2).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def oracle_emb_near_dup() -> str:
+    return """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
+    "kg_records_silver": (q_records_silver, oracle_records_silver),
+    "kg_record_errors": (q_record_errors, oracle_record_errors),
+    "kg_link_ranks": (q_link_ranks, oracle_link_ranks),
+    "kg_link_occupations": (q_link_occupations, oracle_link_occupations),
+    "kg_link_units": (q_link_units, oracle_link_units),
+    "kg_related_periods": (q_related_periods, oracle_related_periods),
+    "kg_link_municipalities": (q_link_municipalities, oracle_link_municipalities),
+    "dedup_exact": (q_dedup_exact, oracle_dedup_exact),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),
+    "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
+    "text_profile": (q_text_profile, oracle_text_profile),
+    "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
+    "emb_near_dup": (q_emb_near_dup, oracle_emb_near_dup),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Full KG pipeline: silver -> all linkers -> unified triples table."""
+    rec = build_silver(spark, sf_dir)
+    d = dims.broadcast_dims(spark)
+    cas = records_to_triples(rec, dims.dim_cemeteries(spark))
+    rl = link_ranks(rec, d["rank_labels"])
+    ol = link_occupations(rec, d["occupations"])
+    ul, period = link_units(rec, d["unit_labels"])
+    return union_graphs(cas, rl, ol, ul, period)

@@ -224,6 +224,79 @@ transcripts AS (
 )""".strip()
 
 
+def actors_sql(dialect: str) -> str:
+    """The WarSampo person-actor dimension the persons stage links against
+    (the reference queries it over SPARQL inside link_persons,
+    src/linker.py:235). Derived from the same pid stream:
+
+    * pids with pid % 4 != 3 have a *true* matching actor (ground truth for
+      P/R), with realistic divergence: 50% keep only the first given name.
+    * every pid also yields a *decoy* actor sharing the family-name block
+      but with shifted dates and a different given name — populates the
+      blocking buckets so the scorer has real negatives to reject.
+
+    Requires the ``raw0`` CTE from synth_sql() in scope.
+    """
+    D = _dialect(dialect)
+    STR = D["STR"]
+    from .dims import MUNICIPALITIES, RANKS, UNITS
+    from . import namespaces as NS
+
+    rank_uri = _case_over_mod(
+        "pid", [NS.RANKS_NS + slug for slug, _, _, _, _ in RANKS], len(RANK_LITERALS)
+    )
+    unit_uri = _case_over_mod("pid", [NS.UNITS_NS + slug for slug, *_ in UNITS])
+    rank_level = _case_over_mod("pid", [str(lvl) for _, _, _, lvl, _ in RANKS])
+    birth_place = _case_over_mod(
+        "pid",
+        [
+            (NS.PNR_NS + "P_" + pnr) if pnr else (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + war)
+            for _, _, pnr, war in MUNICIPALITIES
+        ],
+    )
+    giv_first = (
+        "CASE WHEN pid % 2 = 0 AND instr(given_raw, ' ') > 0 "
+        "THEN substr(given_raw, 1, instr(given_raw, ' ') - 1) ELSE given_raw END"
+    )
+    title = lambda x: f"upper(substr({x}, 1, 1)) || lower(substr({x}, 2))"
+
+    return f"""
+actors AS (
+  SELECT
+    'http://ldf.fi/warsa/actors/person_a' || CAST(pid AS {STR}) AS actor_uri,
+    {title('fam_base')} AS family,
+    {title(giv_first)} AS given,
+    CAST(byear AS {STR}) || '-' || lpad(CAST(bmonth AS {STR}), 2, '0') || '-' || lpad(CAST(bday AS {STR}), 2, '0') AS birth_iso,
+    CAST(dyear AS {STR}) || '-' || lpad(CAST(dmonth AS {STR}), 2, '0') || '-' || lpad(CAST(dday AS {STR}), 2, '0') AS death_iso,
+    {rank_uri} AS rank_uri,
+    CAST({rank_level} AS INT) AS rank_level,
+    {unit_uri} AS unit_uri,
+    {birth_place} AS birth_place
+  FROM raw0 WHERE pid % 4 != 3
+  UNION ALL
+  SELECT
+    'http://ldf.fi/warsa/actors/person_d' || CAST(pid AS {STR}) AS actor_uri,
+    {title('fam_base')} AS family,
+    {title('fam_alt')} AS given,
+    CAST(byear - 7 AS {STR}) || '-' || lpad(CAST(bmonth AS {STR}), 2, '0') || '-' || lpad(CAST(bday AS {STR}), 2, '0') AS birth_iso,
+    CAST(dyear AS {STR}) || '-' || lpad(CAST(1 + (dmonth) % 12 AS {STR}), 2, '0') || '-' || lpad(CAST(1 + dday % 28 AS {STR}), 2, '0') AS death_iso,
+    NULL AS rank_uri,
+    NULL AS rank_level,
+    NULL AS unit_uri,
+    NULL AS birth_place
+  FROM raw0
+)""".strip()
+
+
+def actors_from_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_parquet(spark, sf_dir, ["customer"])
+    sql = (
+        "WITH " + CUSTOMER_PIDS_SQL + ",\n" + synth_sql("spark") + ",\n"
+        + actors_sql("spark") + "\nSELECT * FROM actors"
+    )
+    return spark.sql(sql)
+
+
 CUSTOMER_PIDS_SQL = "customer_pids AS (SELECT CAST(c_custkey AS BIGINT) AS pid FROM customer)"
 
 
