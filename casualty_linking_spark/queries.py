@@ -33,9 +33,18 @@ from .operators.triples import records_to_triples, union_graphs
 # ---------------------------------------------------------------------------
 
 
+_SILVER_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def build_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = synth.transcripts_from_sf(spark, sf_dir)
-    return REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t)))
+    """T0->T2 silver records; memoized + persisted per (session, sf_dir) so
+    the many per-query invocations share one materialization."""
+    key = (id(spark), sf_dir)
+    if key not in _SILVER_CACHE:
+        t = synth.transcripts_from_sf(spark, sf_dir)
+        rec = REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t)))
+        _SILVER_CACHE[key] = rec.persist()
+    return _SILVER_CACHE[key]
 
 
 def _case20(values: list[str]) -> str:
@@ -340,6 +349,528 @@ LEFT JOIN warsa_labels w ON lower(m.label) = lower(w.label)"""
 
 
 # ---------------------------------------------------------------------------
+# q: full triples unpivot (P1 + P11 graveyards) and schema graph (G10)
+# ---------------------------------------------------------------------------
+
+def q_triples_casualties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = build_silver(spark, sf_dir)
+    return records_to_triples(rec, dims.dim_cemeteries(spark)).select(
+        "subj", "pred", "obj", "obj_type", "datatype"
+    )
+
+
+def oracle_triples_casualties() -> str:
+    """Expected unpivot: one SELECT per property (wide->long), the graveyard
+    URI construction + existence semi-join, and the type triple."""
+    from .operators.triples import DEATH_RECORD_TYPE, XSD_DATE, XSD_INTEGER
+
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    mun_pref = REC.MUNICIPALITY_PREFIX
+    xd, xi = f"'{XSD_DATE}'", f"'{XSD_INTEGER}'"
+
+    def lit_(e):  # plain literal
+        return (e, "literal", "NULL")
+
+    def uri_(e):
+        return (e, "uri", "NULL")
+
+    props = {
+        NS.warsa("family_name"): lit_(fam),
+        NS.warsa("given_names"): lit_(giv),
+        NS.SKOS_PREF_LABEL: lit_(f"({fam}) || ', ' || ({giv})"),
+        NS.warsa("marital_status"): uri_(_enum_expected_sql(synth.MARITAL_KEYS, "marital", "pid")),
+        NS.warsa("gender"): uri_(_enum_expected_sql(synth.GENDER_KEYS, "gender", "pid + 1")),
+        NS.warsa("citizenship"): uri_(_enum_expected_sql(synth.CITIZEN_KEYS, "citizenship", "pid + 2")),
+        NS.warsa("nationality"): uri_(_enum_expected_sql(synth.CITIZEN_KEYS, "nationality", "pid + 2")),
+        NS.warsa("mother_tongue"): uri_(_enum_expected_sql(synth.LANGUAGE_KEYS, "language", "pid")),
+        NS.warsa("number_of_children"): (
+            "CASE WHEN pid % 13 IN (6, 7) THEN NULL ELSE CAST(pid % 6 AS VARCHAR) END",
+            "literal", xi,
+        ),
+        NS.warsa("occupation_literal"): lit_("lower(ammatti)"),
+        NS.cas("rank_literal"): lit_(_fixed_rank_sql()),
+        NS.cas("unit_code"): lit_("nullif(joskoodi, '')"),
+        NS.cas("unit_literal"): lit_("nullif(trim(josnimi), '')"),
+        NS.warsa("date_of_birth"): (
+            f"coalesce(CAST(({_BIRTH_DATE}) AS VARCHAR), {_BIRTH_STR})", "literal",
+            f"CASE WHEN ({_BIRTH_DATE}) IS NOT NULL THEN {xd} END",
+        ),
+        NS.cas("municipality_of_birth"): uri_(f"'{mun_pref}' || skunta"),
+        NS.warsa("date_of_death"): (
+            f"coalesce(CAST(({_DEATH_DATE}) AS VARCHAR), {_DEATH_STR})", "literal",
+            f"CASE WHEN ({_DEATH_DATE}) IS NOT NULL THEN {xd} END",
+        ),
+        NS.cas("municipality_of_death"): uri_(f"'{mun_pref}' || kuolinkunta"),
+        NS.cas("perishing_category"): uri_(_enum_expected_sql(synth.PERISHING_KEYS, "perishing", "pid")),
+        NS.cas("municipality_of_burial"): uri_(f"'{mun_pref}' || hkunta"),
+        NS.cas("place_of_burial_number"): lit_("nullif(hpaikka, '')"),
+        NS.cas("additional_information"): lit_(
+            "CASE WHEN vapaa_paikkatieto IS NULL OR vapaa_paikkatieto = '' THEN NULL "
+            "WHEN instr('kuolemanrangaistus', lower(vapaa_paikkatieto)) > 0 "
+            "OR instr('teloitettu', lower(vapaa_paikkatieto)) > 0 "
+            "OR instr('ammuttu', lower(vapaa_paikkatieto)) > 0 THEN NULL "
+            "ELSE vapaa_paikkatieto END"
+        ),
+        NS.RDF_TYPE: uri_(f"'{DEATH_RECORD_TYPE}'"),
+    }
+    # graveyard construction (src/csv_to_rdf.py:94-121)
+    gy_raw = (
+        "CASE WHEN nullif(hkunta, '') IS NOT NULL AND nullif(hmaa, '') IS NOT NULL "
+        f"THEN '{NS.CEMETERIES}h' || hkunta || '_' || hmaa END"
+    )
+    gy_mapped = gy_raw
+    for bad, good in dims.GRAVEYARD_MAPPING:
+        gy_mapped = f"CASE WHEN ({gy_mapped}) = '{bad}' THEN '{good}' ELSE ({gy_mapped}) END"
+    gy_exists = f"({gy_mapped}) IN (SELECT cem_uri FROM cemeteries)"
+    props[NS.cas("graveyard_number")] = (
+        f"CASE WHEN NOT coalesce({gy_exists}, FALSE) THEN nullif(hmaa, '') END", "literal", "NULL",
+    )
+    props[NS.warsa("buried_in")] = (
+        f"CASE WHEN coalesce({gy_exists}, FALSE) AND regexp_full_match(hmaa, '[0-9]+') THEN {gy_mapped} END",
+        "uri", "NULL",
+    )
+
+    selects = [
+        f"SELECT {_SUBJ_SQL} AS subj, '{pred}' AS pred, {obj} AS obj, "
+        f"'{ot}' AS obj_type, {dt} AS datatype FROM records"
+        for pred, (obj, ot, dt) in props.items()
+    ]
+    return (
+        synth.oracle_prelude([dims.cemeteries_cte()])
+        + "SELECT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+# Property labels for the schema graph (public vocabulary labels of
+# reference src/mapping.py:96-317 name_fi/name_en/description_fi entries).
+SCHEMA_PROPERTY_LABELS = [
+    (NS.warsa("family_name"), "Sukunimi", "Family name", "Henkilön sukunimi"),
+    (NS.warsa("given_names"), "Etunimet", "Given names", "Henkilön etunimet"),
+    (NS.warsa("marital_status"), "Siviilisääty", "Marital status", "Siviilisääty"),
+    (NS.warsa("gender"), "Sukupuoli", "Gender", None),
+    (NS.warsa("citizenship"), "Kansalaisuus", "Citizenship", None),
+    (NS.warsa("nationality"), "Kansallisuus", "Nationality", None),
+    (NS.warsa("mother_tongue"), "Äidinkieli", "Mother tongue", None),
+    (NS.warsa("number_of_children"), "Lasten lukumäärä", "Number of children", None),
+    (NS.warsa("occupation_literal"), "Ammatti", "Occupation", None),
+    (NS.cas("rank_literal"), "Sotilasarvo", "Military rank", None),
+    (NS.cas("unit_code"), "Joukko-osaston peiteluku", "Military unit identification code",
+     "Henkilön kuolinhetken joukko-osaston peiteluku"),
+    (NS.cas("unit_literal"), "Joukko-osasto", "Military unit",
+     "Henkilön joukko-osasto kuolinhetkellä"),
+    (NS.warsa("date_of_birth"), "Syntymäpäivä", "Date of birth", None),
+    (NS.cas("municipality_of_birth"), "Synnyinkunta", "Municipality of birth", None),
+    (NS.cas("municipality_of_domicile"), "Kotikunta", "Municipality of domicile",
+     "Henkilön kirjoillaolokunta"),
+    (NS.cas("municipality_of_residence"), "Asuinkunta", "Municipality of residence", None),
+    (NS.warsa("date_of_wounding"), "Haavoittumispäivä", "Date of wounding", None),
+    (NS.cas("municipality_of_wounding"), "Haavoittumiskunta", "Municipality of wounding", None),
+    (NS.warsa("place_of_wounding"), "Haavoittumispaikka", "Place of wounding", None),
+    (NS.warsa("date_of_going_mia"), "Katoamispäivä", "Date of going missing in action", None),
+    (NS.cas("municipality_of_going_mia"), "Katoamiskunta",
+     "Municipality of going missing in action", None),
+    (NS.warsa("place_of_going_mia_literal"), "Katoamispaikka",
+     "Place of going missing in action", None),
+    (NS.warsa("date_of_death"), "Kuolinpäivä", "Date of death", None),
+    (NS.cas("municipality_of_death"), "Kuolinkunta", "Municipality of death", None),
+    (NS.warsa("place_of_death_literal"), "Kuolinpaikka", "Place of death", None),
+    (NS.cas("perishing_category"), "Menehtymisluokka", "Perishing category", None),
+    (NS.cas("municipality_of_burial"), "Hautauskunta", "Municipality of burial", None),
+    (NS.cas("graveyard_number"), "Hautausmaan numero", "Burial graveyard number", None),
+    (NS.cas("place_of_burial_number"), "Hautapaikan numero", "Place of burial (number)", None),
+    (NS.cas("additional_information"), "Lisätietoja", "Additional information", None),
+]
+
+
+def q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — schema-graph emission (src/csv_to_rdf.py:193-200): rdf:Property
+    typing + fi/en prefLabels + fi descriptions for every mapped property."""
+    rows = []
+    for uri, fi, en, desc in SCHEMA_PROPERTY_LABELS:
+        rows.append((uri, NS.RDF_TYPE, NS.RDF_NS + "Property", None))
+        rows.append((uri, NS.SKOS_PREF_LABEL, fi, "fi"))
+        rows.append((uri, NS.SKOS_PREF_LABEL, en, "en"))
+        if desc:
+            rows.append((uri, NS.DCT + "description", desc, "fi"))
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, lang string")
+
+
+def oracle_schema_graph() -> str:
+    rows = []
+    for uri, fi, en, desc in SCHEMA_PROPERTY_LABELS:
+        rows.append((uri, NS.RDF_TYPE, NS.RDF_NS + "Property", None))
+        rows.append((uri, NS.SKOS_PREF_LABEL, fi, "fi"))
+        rows.append((uri, NS.SKOS_PREF_LABEL, en, "en"))
+        if desc:
+            rows.append((uri, NS.DCT + "description", desc, "fi"))
+    return (
+        "WITH " + dims.values_cte("schema_rows", ["subj", "pred", "obj", "lang"], rows)
+        + "\nSELECT subj, pred, obj, lang FROM schema_rows"
+    )
+
+
+def q_unit_label_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8 — GROUP_CONCAT of labels per unit (the reference's covernumber
+    query aggregates GROUP_CONCAT(?label; separator=' || '),
+    src/linker.py:131-139)."""
+    d = dims.dim_unit_labels(spark)
+    return d.groupBy("unit_uri", "cover_number").agg(
+        F.array_join(F.array_sort(F.collect_list("label")), " || ").alias("labels"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+
+
+def oracle_unit_label_concat() -> str:
+    return (
+        "WITH " + dims.unit_labels_cte()
+        + """
+SELECT unit_uri, cover_number,
+       string_agg(label, ' || ' ORDER BY label) AS labels,
+       count(*) AS n_labels
+FROM unit_labels GROUP BY unit_uri, cover_number"""
+    )
+
+
+def q_property_path_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 property-path idiom: P70_documents / ^P143_joined /
+    P144_joined_with (unit_construct.sparql:8) as a 3-way self-join over the
+    triples DataFrame — casualty -> generated person -> joining event -> unit."""
+    gen = _gen_base(spark, sf_dir)
+    triples = union_graphs(gen["documents_links"], gen["joinings"])
+    doc = triples.filter(F.col("pred") == NS.CRM + "P70_documents").select(
+        F.col("subj").alias("casualty"), F.col("obj").alias("person")
+    )
+    joined = triples.filter(F.col("pred") == NS.CRM + "P143_joined").select(
+        F.col("subj").alias("event"), F.col("obj").alias("person")
+    )
+    with_unit = triples.filter(F.col("pred") == NS.CRM + "P144_joined_with").select(
+        F.col("subj").alias("event"), F.col("obj").alias("unit")
+    )
+    return (
+        doc.join(joined, "person").join(with_unit, "event")
+        .select("casualty", "unit").distinct()
+    )
+
+
+def oracle_property_path_units() -> str:
+    """The path collapses to 'casualty has >=1 unit link' — the independent
+    SQL recomputation reuses the unit-link CTEs."""
+    sel = f"""
+SELECT DISTINCT {_SUBJ_SQL} AS casualty, unit_uri AS unit FROM (
+  SELECT pid, unit_uri FROM bestA WHERE rn = 1 AND score >= 20
+  UNION ALL SELECT pid, unit_uri FROM bestB WHERE rn = 1
+)"""
+    return synth.oracle_prelude([dims.unit_labels_cte()] + _unit_common_ctes()) + sel
+
+
+# ---------------------------------------------------------------------------
+# q: person record linkage (J7/J7a) + connected components
+# ---------------------------------------------------------------------------
+
+def _strip_ent_py(fam: str) -> str:
+    import re
+
+    return re.sub(r"\(ent\.\s*(.+)\)", r"\1", fam)
+
+
+def _expected_linkage_family_sql() -> str:
+    """Unified family with '(ent. X)' stripped (src/linker.py:70)."""
+    n = len(synth.FAMILIES)
+    base = synth.FAMILIES
+    dirt0 = _case20([_strip_ent_py(unify_family_py(f.replace("O", "0"))) for f in base])
+    dirt1 = _case20(
+        [_strip_ent_py(unify_family_py(f"{base[i]} ENT. {base[(i + 3) % n]}")) for i in range(n)]
+    )
+    dirt2 = _case20([_strip_ent_py(unify_family_py(f"{base[i]}%{base[(i + 3) % n]}")) for i in range(n)])
+    clean = _case20([_strip_ent_py(unify_family_py(f)) for f in base])
+    return (
+        f"CASE WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
+        f"WHEN pid % 29 = 13 THEN {dirt2} ELSE {clean} END"
+    )
+
+
+def _features_ctes() -> list[str]:
+    """DuckDB CTE ``features``: the J7a feature table, composed from the rank
+    link SQL, unit link SQL and municipality dimension — fully independent
+    recomputation."""
+    rank_level = synth._case_over_mod(
+        "pid", [str(lvl) for _, _, _, lvl, _ in dims.RANKS], len(synth.RANK_LITERALS)
+    )
+    return (
+        [dims.rank_labels_cte(), dims.unit_labels_cte(), dims.municipalities_cte()]
+        + _unit_common_ctes()
+        + [
+            f"""rank_link AS (
+  SELECT pid AS rl_pid, rank_uri FROM (
+    SELECT pid, rank_uri, row_number() OVER (PARTITION BY pid ORDER BY is_pref DESC, rank_uri ASC) AS rn
+    FROM (SELECT pid, {_fixed_rank_sql()} AS rank_literal FROM records) r
+    JOIN rank_labels ON lower(trim(r.rank_literal)) = lower(label)
+  ) WHERE rn = 1)""",
+            """unit_link AS (
+  SELECT DISTINCT pid AS ul_pid, unit_uri FROM (
+    SELECT pid, unit_uri FROM bestA WHERE rn = 1 AND score >= 20
+    UNION ALL SELECT pid, unit_uri FROM bestB WHERE rn = 1))""",
+            f"""features AS (
+  SELECT r.pid,
+    {_SUBJ_SQL} AS record_uri,
+    {_expected_given_sql()} AS given,
+    {_expected_linkage_family_sql()} AS family,
+    CAST(({_BIRTH_DATE}) AS VARCHAR) AS birth_iso,
+    CAST(({_DEATH_DATE}) AS VARCHAR) AS death_iso,
+    rl.rank_uri,
+    rlv.level AS rank_level,
+    array_to_string(list_filter([m.current_municipality, m.wartime_municipality], x -> x IS NOT NULL), ',') AS birth_place,
+    coalesce(ul.units, '') AS units
+  FROM records r
+  LEFT JOIN rank_link rl ON r.pid = rl.rl_pid
+  LEFT JOIN (SELECT DISTINCT rank_uri AS u2, level FROM rank_labels) rlv ON rl.rank_uri = rlv.u2
+  LEFT JOIN municipalities m ON m.mun_uri = '{REC.MUNICIPALITY_PREFIX}' || r.skunta
+  LEFT JOIN (
+    SELECT ul_pid, string_agg(unit_uri, ',' ORDER BY unit_uri) AS units FROM unit_link GROUP BY ul_pid
+  ) ul ON r.pid = ul.ul_pid)""",
+        ]
+    )
+
+
+def q_person_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.link_persons import casualty_features
+
+    rec = build_silver(spark, sf_dir)
+    rl = link_ranks(rec, dims.dim_rank_labels(spark))
+    ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+    feats = casualty_features(rec, rl, ul, dims.dim_ranks(spark), dims.dim_municipalities(spark))
+    return feats.select(
+        "record_uri", "given", "family", "birth_iso", "death_iso",
+        F.coalesce(F.element_at("rank", 1), F.lit(None)).alias("rank_uri"),
+        "rank_level",
+        F.array_join(F.coalesce("birth_place", F.array()), ",").alias("birth_place"),
+        F.array_join(F.coalesce("units", F.array()), ",").alias("units"),
+    )
+
+
+def oracle_person_features() -> str:
+    sel = """
+SELECT record_uri, given, family, birth_iso, death_iso, rank_uri,
+       CAST(rank_level AS INT) AS rank_level, birth_place, units
+FROM features"""
+    return synth.oracle_prelude(_features_ctes()) + sel
+
+
+def _pair_score_sql() -> str:
+    """Logistic pair score, mirroring operators/link_persons.score_pairs."""
+    from .operators.link_persons import BIAS, WEIGHTS
+
+    terms = {
+        "jw_given": "jaro_winkler_similarity(lower(f.given), lower(a.given))",
+        "jw_family": "jaro_winkler_similarity(lower(f.family), lower(a.family))",
+        "birth_eq": "CASE WHEN f.birth_iso IS NULL OR a.birth_iso IS NULL THEN 0.5 WHEN f.birth_iso = a.birth_iso THEN 1.0 ELSE 0.0 END",
+        "death_eq": "CASE WHEN f.death_iso IS NULL OR a.death_iso IS NULL THEN 0.5 WHEN f.death_iso = a.death_iso THEN 1.0 ELSE 0.0 END",
+        "place_eq": (
+            "CASE WHEN f.birth_place = '' OR a.birth_place IS NULL THEN 0.5 "
+            "WHEN list_contains(string_split(f.birth_place, ','), a.birth_place) THEN 1.0 ELSE 0.0 END"
+        ),
+        "rank_eq": "CASE WHEN f.rank_uri IS NULL OR a.rank_uri IS NULL THEN 0.5 WHEN f.rank_uri = a.rank_uri THEN 1.0 ELSE 0.0 END",
+        "unit_eq": (
+            "CASE WHEN f.units = '' OR a.unit_uri IS NULL THEN 0.5 "
+            "WHEN list_contains(string_split(f.units, ','), a.unit_uri) THEN 1.0 ELSE 0.0 END"
+        ),
+        "level_sim": (
+            "CASE WHEN f.rank_level IS NULL OR a.rank_level IS NULL THEN 0.5 "
+            "ELSE 1.0 - abs(f.rank_level - a.rank_level) / CAST(greatest(f.rank_level, a.rank_level, 1) AS DOUBLE) END"
+        ),
+    }
+    z = " + ".join(f"{w} * ({terms[k]})" for k, w in WEIGHTS.items())
+    return f"1.0 / (1.0 + exp(-({BIAS} + {z})))"
+
+
+def _fold_sql(e: str) -> str:
+    return duckdb_ascii_fold(e)
+
+
+def _person_link_ctes() -> list[str]:
+    bk_f = f"substr({_fold_sql('lower(f.family)')}, 1, 3) || '|' || coalesce(substr(f.death_iso, 1, 4), '?')"
+    bk_a = f"substr({_fold_sql('lower(a.family)')}, 1, 3) || '|' || coalesce(substr(a.death_iso, 1, 4), '?')"
+    return _features_ctes() + [
+        f"""scored AS (
+  SELECT f.record_uri, a.actor_uri, {_pair_score_sql()} AS score
+  FROM features f JOIN actors a ON {bk_f} = {bk_a}
+  WHERE {_pair_score_sql()} >= 0.85)""",
+        """mutual AS (
+  SELECT record_uri, actor_uri FROM (
+    SELECT record_uri, actor_uri,
+      row_number() OVER (PARTITION BY record_uri ORDER BY score DESC, actor_uri ASC) AS rl,
+      row_number() OVER (PARTITION BY actor_uri ORDER BY score DESC, record_uri ASC) AS rr
+    FROM scored
+  ) WHERE rl = 1 AND rr = 1)""",
+    ]
+
+
+def q_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.link_persons import casualty_features, link_persons
+
+    rec = build_silver(spark, sf_dir)
+    rl = link_ranks(rec, dims.dim_rank_labels(spark))
+    ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+    feats = casualty_features(rec, rl, ul, dims.dim_ranks(spark), dims.dim_municipalities(spark))
+    actors = synth.actors_from_sf(spark, sf_dir)
+    return link_persons(feats, actors).select("subj", "pred", "obj")
+
+
+def oracle_link_persons() -> str:
+    sel = f"""
+SELECT record_uri AS subj, '{NS.CRM}P70_documents' AS pred, actor_uri AS obj FROM mutual"""
+    return synth.oracle_prelude([synth.actors_sql("duckdb")] + _person_link_ctes()) + sel
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.link_persons import connected_components
+
+    links = q_link_persons(spark, sf_dir)
+    edges = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(edges)
+
+
+def oracle_connected_components() -> str:
+    sel = """
+, sym AS (
+  SELECT record_uri AS src, actor_uri AS dst FROM mutual
+  UNION SELECT actor_uri, record_uri FROM mutual),
+reach AS (
+  SELECT src AS v, src AS c FROM sym
+  UNION
+  SELECT s.src, r.c FROM sym s JOIN reach r ON s.dst = r.v)
+SELECT v AS vertex, min(c) AS component FROM reach GROUP BY v"""
+    return (
+        "WITH RECURSIVE "
+        + synth.CUSTOMER_PIDS_SQL + ",\n"
+        + synth.synth_sql("duckdb") + ",\n"
+        + synth.actors_sql("duckdb") + ",\n"
+        + ",\n".join(_person_link_ctes())
+        + sel
+    )
+
+
+# ---------------------------------------------------------------------------
+# q: person generation (G1) + birth events (G3) — unlinked set = all records
+# ---------------------------------------------------------------------------
+
+def _gen_base(spark: SparkSession, sf_dir: str):
+    from .operators.persons_generate import generate_persons
+
+    rec = build_silver(spark, sf_dir)
+    empty_links = spark.createDataFrame([], "subj string, obj string")
+    rl = link_ranks(rec, dims.dim_rank_labels(spark))
+    ol = link_occupations(rec, dims.dim_occupations(spark))
+    ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+    return generate_persons(
+        rec, empty_links, ol, rl, ul,
+        dims.dim_municipalities(spark), dims.dim_rank_labels(spark),
+    )
+
+
+def q_generate_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["persons"].select("subj", "pred", "obj", "lang")
+
+
+def _expected_occ_sql() -> str:
+    """Expected occupation link per pid, computed at render time with the
+    byte-mode Jaro-Winkler mirror (threshold 0.88, deterministic argmax)."""
+    from .functions.similarity import jaro_winkler_py
+
+    def best(literal: str) -> str | None:
+        scored = sorted(
+            (
+                (-jaro_winkler_py(
+                    literal.encode("utf-8").decode("latin-1"),
+                    lbl.encode("utf-8").decode("latin-1"),
+                ), NS.OCCUPATIONS_NS + slug)
+                for slug, lbl in dims.OCCUPATIONS
+            ),
+        )
+        s, uri = scored[0]
+        return uri if -s >= 0.88 else None
+
+    occs = synth.OCCUPATION_LITERALS
+    clean = synth._case_over_mod("pid", [best(o) or "" for o in occs])
+    dirt0 = synth._case_over_mod("pid", [best(o[:2] + o[3:]) or "" for o in occs])
+    dirt1 = "'" + (best("insinöörioppilas") or "") + "'"
+    return (
+        f"nullif(CASE WHEN pid % 61 = 4 THEN {dirt0} WHEN pid % 67 = 5 THEN {dirt1} "
+        f"ELSE {clean} END, '')"
+    )
+
+
+def oracle_generate_persons() -> str:
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    rows = [
+        (person, NS.RDF_TYPE, f"'{NS.warsa('Person')}'", "NULL"),
+        (person, NS.FOAF + "familyName", fam, "NULL"),
+        (person, NS.FOAF + "firstName", giv, "NULL"),
+        (person, NS.FOAF + "givenName", giv, "NULL"),
+        (person, NS.SKOS_PREF_LABEL, name, "NULL"),
+        (person, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (person, NS.CRM + "P70i_is_documented_in", _SUBJ_SQL, "NULL"),
+        (person, NS.BIOC + "has_occupation", _expected_occ_sql(), "NULL"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang FROM records"
+        for s, p, o, lang in rows
+    ]
+    return (
+        synth.oracle_prelude()
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+def q_generate_births(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["births"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_births() -> str:
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    ev = "'http://ldf.fi/warsa/events/birth_p' || CAST(pid AS VARCHAR)"
+    ts = "'http://ldf.fi/warsa/events/times/birth_p' || CAST(pid AS VARCHAR)"
+    # preferred municipality of the birth municipality, by literal table
+    preferred = synth._case_over_mod(
+        "pid",
+        [
+            (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + w) if w
+            else ((NS.PNR_NS + "P_" + p) if p else (NS.MUNICIPALITIES + "k" + code))
+            for code, _, p, w in dims.MUNICIPALITIES
+        ],
+    )
+    date_lit = f"coalesce(CAST(({_BIRTH_DATE}) AS VARCHAR), {_BIRTH_STR})"
+    rows = [
+        (ev, NS.RDF_TYPE, f"'{NS.warsa('Birth')}'", "NULL"),
+        (ev, NS.CRM + "P98_brought_into_life", person, "NULL"),
+        (ev, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' syntyi'", "'fi'"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' was born'", "'en'"),
+        (ev, NS.CRM + "P7_took_place_at", preferred, "NULL"),
+        (ev, NS.CRM + "P4_has_time-span", f"CASE WHEN ({date_lit}) IS NOT NULL THEN {ts} END", "NULL"),
+        (ts, NS.CRM + "P82a_begin_of_the_begin", date_lit, "NULL"),
+        (ts, NS.CRM + "P82b_end_of_the_end", date_lit, "NULL"),
+        (ts, NS.SKOS_PREF_LABEL, date_lit, "NULL"),
+        (ts, NS.RDF_TYPE, f"CASE WHEN ({date_lit}) IS NOT NULL THEN '{NS.CRM}E52_Time-Span' END", "NULL"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang FROM records"
+        for s, p, o, lang in rows
+    ]
+    return (
+        synth.oracle_prelude()
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / text analysis / ANN over documents & embeddings
 # ---------------------------------------------------------------------------
 
@@ -550,6 +1081,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_link_units": (q_link_units, oracle_link_units),
     "kg_related_periods": (q_related_periods, oracle_related_periods),
     "kg_link_municipalities": (q_link_municipalities, oracle_link_municipalities),
+    "kg_triples_casualties": (q_triples_casualties, oracle_triples_casualties),
+    "kg_schema_graph": (q_schema_graph, oracle_schema_graph),
+    "kg_unit_label_concat": (q_unit_label_concat, oracle_unit_label_concat),
+    "kg_property_path_units": (q_property_path_units, oracle_property_path_units),
+    "kg_person_features": (q_person_features, oracle_person_features),
+    "kg_link_persons": (q_link_persons, oracle_link_persons),
+    "kg_connected_components": (q_connected_components, oracle_connected_components),
+    "kg_generate_persons": (q_generate_persons, oracle_generate_persons),
+    "kg_generate_births": (q_generate_births, oracle_generate_births),
     "dedup_exact": (q_dedup_exact, oracle_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),

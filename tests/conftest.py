@@ -76,8 +76,9 @@ def compare_frames(sdf, duck_df, keys=None):
     def norm(df):
         df = df.astype(object)
         for c in df.columns:
-            # NB: Series.map silently skips NaN -> plain comprehension
-            df[c] = [_nv(v) for v in df[c]]
+            # NB: Series.map silently skips NaN -> plain comprehension; the
+            # explicit object dtype stops pandas re-coercing None back to NaN
+            df[c] = pd.Series([_nv(v) for v in df[c]], dtype=object, index=df.index)
         return df.sort_values(
             cols, key=lambda s: pd.Series([(v is None, str(v)) for v in s], index=s.index)
         ).reset_index(drop=True)

@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the 100 TB posture checks:
+broadcast joins for dimensions, pushed parquet filters, no cartesian
+products in linking, whole-stage codegen in the extraction hot path."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rank_link_broadcasts_dim(spark):
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import extract, records as R
+    from casualty_linking_spark.operators.link_ranks import link_ranks
+
+    rec = R.build_records(
+        extract.mentions_to_raw_records(
+            extract.extract_mentions(synth.transcripts_range(spark, 50))
+        )
+    )
+    plan = _plan(link_ranks(rec, dims.dim_rank_labels(spark)))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unit_link_no_cartesian(spark):
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import extract, records as R
+    from casualty_linking_spark.operators.link_units import link_units
+
+    rec = R.build_records(
+        extract.mentions_to_raw_records(
+            extract.extract_mentions(synth.transcripts_range(spark, 50))
+        )
+    )
+    links, _ = link_units(rec, dims.dim_unit_labels(spark))
+    plan = _plan(links)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+    # column pruning: only the two needed columns are read
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_extraction_stays_in_codegen(spark):
+    """The T1 hot path must be whole-stage codegen (no Python/BatchEval)."""
+    from casualty_linking_spark import synth
+    from casualty_linking_spark.operators import extract
+
+    m = extract.extract_mentions(synth.transcripts_range(spark, 50))
+    plan = _plan(m)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_person_blocking_no_cartesian(spark):
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import extract, records as R
+    from casualty_linking_spark.operators.link_persons import casualty_features, link_persons
+    from casualty_linking_spark.operators.link_ranks import link_ranks
+    from casualty_linking_spark.operators.link_units import link_units
+
+    rec = R.build_records(
+        extract.mentions_to_raw_records(
+            extract.extract_mentions(synth.transcripts_range(spark, 50))
+        )
+    )
+    rl = link_ranks(rec, dims.dim_rank_labels(spark))
+    ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+    feats = casualty_features(rec, rl, ul, dims.dim_ranks(spark), dims.dim_municipalities(spark))
+    spark.range(0).createOrReplaceTempView("_noop")  # keep session warm
+    actors = synth.actors_from_sf(spark, "/root/testdata/sf0.001")
+    plan = _plan(link_persons(feats, actors))
+    assert "CartesianProduct" not in plan
