@@ -168,6 +168,31 @@ def fix_by_direct_uri_mappings(graph: DataFrame) -> DataFrame:
     return graph.withColumn("obj", obj).dropDuplicates(TRIPLE_COLS)
 
 
+def documents_links(graph: DataFrame, inverse_links: DataFrame) -> DataFrame:
+    """J8 (reference src/tasks.py:17-44): for each DeathRecord lacking a
+    crm:P70_documents link, look up persons carrying the inverse
+    crm:P70i_is_documented_in and emit the forward link. Left-anti on the
+    already-linked set, then an equi-join on the inverse table — the
+    reference's per-record SPARQL probe becomes one batched join."""
+    P70 = NS.CRM + "P70_documents"
+    P70I = NS.CRM + "P70i_is_documented_in"
+    death_records = subjects_by_po(graph, NS.RDF_TYPE, DEATH_RECORD_TYPE)
+    already = graph.filter(F.col("pred") == P70).select("subj")
+    unlinked = death_records.join(already, "subj", "left_anti")
+    inv = inverse_links.filter(F.col("pred") == P70I).select(
+        F.col("obj").alias("subj"), F.col("subj").alias("person")
+    )
+    return unlinked.join(inv, "subj").select(
+        "subj",
+        F.lit(P70).alias("pred"),
+        F.col("person").alias("obj"),
+        F.lit("uri").alias("obj_type"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit("documents_links").alias("graph_kind"),
+    )
+
+
 def subjects_by_po(graph: DataFrame, pred: str, obj: str) -> DataFrame:
     """graph[:pred:obj] subject scan (SURVEY §2.8)."""
     return graph.filter((F.col("pred") == pred) & (F.col("obj") == obj)).select("subj")
