@@ -67,25 +67,40 @@ def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
 
 
 def lsh_bands(documents: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
-    """(doc_id, band_idx, band_key) — band_key = md5 of the band's minhashes."""
-    sig = minhash_signature(F.col("text"), n_hashes)
+    """(doc_id, band_idx, band_key) — band_key = md5 of the band's minhashes.
+
+    Shape: explode shingles to rows, hash each shingle once per seed, fold
+    with a single groupBy(doc_id) min-aggregation (map-side combine) — one
+    pass over the data. The array-lambda formulation (minhash_signature)
+    re-evaluates the shingle set per seed because Catalyst inlines the
+    shared subtree into every lambda (measured 12x blowup at sf0.1)."""
+    sh_rows = documents.select(
+        F.col("doc_id"), F.explode(shingles_col(F.col("text"))).alias("shingle")
+    )
+    sig = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
     n_bands = n_hashes // band_size
-    out = documents.select(F.col("doc_id"), sig.alias("sig"))
     bands = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_idx"),
-                F.md5(
-                    F.concat(
-                        b.cast("string"), F.lit("|"),
-                        F.array_join(F.slice(F.col("sig"), b * band_size + 1, band_size), ","),
-                    )
-                ).alias("band_key"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "", F.lit(f"{b}|"),
+                            F.concat_ws(",", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]),
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
         )
     )
-    return out.select("doc_id", bands.alias("b")).select("doc_id", "b.band_idx", "b.band_key")
+    return sig.select("doc_id", bands.alias("b")).select("doc_id", "b.band_idx", "b.band_key")
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:

@@ -35,18 +35,27 @@ def link_occupations(
     recs = records.filter(F.col("occupation_literal").isNotNull()).select(
         "record_uri", "occupation_literal"
     )
+    # Score DISTINCT literals, not rows: the literal vocabulary is tiny
+    # relative to the corpus (Zipfian occupations), so the expensive UDF pass
+    # runs on |vocab| x |ontology| pairs and the per-record resolution is a
+    # broadcast hash join. At 10^12 rows this is the difference between an
+    # O(rows x labels) UDF scan and an O(vocab x labels) one.
+    lits = recs.select("occupation_literal").distinct()
     if block_first_char:
-        cond = F.substring(recs.occupation_literal, 1, 1) == F.substring(occupations.label, 1, 1)
-        cands = recs.join(F.broadcast(occupations), cond)
+        cond = F.substring(lits.occupation_literal, 1, 1) == F.substring(occupations.label, 1, 1)
+        cands = lits.join(F.broadcast(occupations), cond)
     else:
-        cands = recs.crossJoin(F.broadcast(occupations))
+        cands = lits.crossJoin(F.broadcast(occupations))
 
     scored = cands.withColumn(
         "score", jaro_winkler(F.col("occupation_literal"), F.col("label"))
     ).filter(F.col("score") >= threshold)
 
-    w = Window.partitionBy("record_uri").orderBy(F.col("score").desc(), F.col("occ_uri").asc())
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    w = Window.partitionBy("occupation_literal").orderBy(F.col("score").desc(), F.col("occ_uri").asc())
+    best_per_lit = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = recs.join(
+        F.broadcast(best_per_lit.select("occupation_literal", "occ_uri")), "occupation_literal"
+    )
     return best.select(
         F.col("record_uri").alias("subj"),
         F.lit(NS.BIOC + "has_occupation").alias("pred"),

@@ -91,8 +91,15 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     )
 
     # ---- Path A: cover-number join + fuzzy argmax ----
-    with_cover = recs.filter(F.col("unit_code").isNotNull())
-    cands_a = with_cover.join(
+    # Scoring runs on DISTINCT (unit_code, unit_literal) pairs — the literal
+    # vocabulary is tiny vs the corpus, so the fuzzy pass is O(vocab x labels)
+    # and records resolve via a broadcast join (same dataflow shape as the
+    # reference's one batched VALUES lookup, src/linker.py:145-147).
+    pairs = (
+        recs.filter(F.col("unit_code").isNotNull())
+        .select("unit_code", "unit_literal").distinct()
+    )
+    cands_a = pairs.join(
         F.broadcast(unit_labels.filter(F.col("cover_number").isNotNull())),
         F.col("unit_code") == F.col("cover_number"),
     )
@@ -102,13 +109,25 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
         "score",
         levenshtein_ratio(ascii_fold(F.col("label")), ascii_fold(F.col("unit_literal"))),
     )
-    per_unit = scored_a.groupBy("record_uri", "unit_uri").agg(F.max("score").alias("score"))
-    w = Window.partitionBy("record_uri").orderBy(F.col("score").desc(), F.col("unit_uri").asc())
-    best_a = per_unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    links_a = best_a.filter(F.col("score") >= COVER_NUMBER_SCORE_LIMIT)
+    per_unit = scored_a.groupBy("unit_code", "unit_literal", "unit_uri").agg(
+        F.max("score").alias("score")
+    )
+    w = Window.partitionBy("unit_code", "unit_literal").orderBy(
+        F.col("score").desc(), F.col("unit_uri").asc()
+    )
+    best_pair = per_unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    with_cover = recs.filter(F.col("unit_code").isNotNull()).join(
+        F.broadcast(best_pair.select("unit_code", "unit_literal", "unit_uri", "score")),
+        ["unit_code", "unit_literal"],
+        "left",
+    )
+    links_a = with_cover.filter(F.col("score") >= COVER_NUMBER_SCORE_LIMIT)
 
-    # ---- fall-through set: no cover OR sub-threshold best (src/linker.py:188)
-    failed_a = best_a.filter(F.col("score") < COVER_NUMBER_SCORE_LIMIT).select("record_uri")
+    # ---- fall-through set: no cover OR sub-threshold best or unknown cover
+    # (src/linker.py:188)
+    failed_a = with_cover.filter(
+        F.col("score").isNull() | (F.col("score") < COVER_NUMBER_SCORE_LIMIT)
+    ).select("record_uri")
     path_b_recs = recs.filter(F.col("unit_code").isNull()).select("record_uri").unionByName(failed_a)
     path_b = recs.join(path_b_recs, "record_uri", "left_semi")
 

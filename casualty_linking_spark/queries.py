@@ -43,7 +43,12 @@ def build_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SILVER_CACHE:
         t = synth.transcripts_from_sf(spark, sf_dir)
         rec = REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t)))
-        _SILVER_CACHE[key] = rec.persist()
+        # localCheckpoint cuts the logical lineage: the synthetic-input CASE
+        # trees are large, and without the cut Catalyst re-optimizes them
+        # (with CollapseProject expression blowup) for EVERY derived query —
+        # measured ~60s/plan at sf0.01. In the production pipeline the same
+        # cut is the T2 table materialization (plans/pipeline.py).
+        _SILVER_CACHE[key] = rec.localCheckpoint(eager=True)
     return _SILVER_CACHE[key]
 
 
@@ -275,7 +280,7 @@ def _unit_common_ctes() -> list[str]:
         """pathB AS (
   SELECT r.pid, r.prep, r.death_cmp FROM recs2 r
   LEFT JOIN (SELECT pid, score FROM bestA WHERE rn = 1) b ON r.pid = b.pid
-  WHERE r.unit_code IS NULL OR b.score < 20)""",
+  WHERE r.unit_code IS NULL OR b.score IS NULL OR b.score < 20)""",
         """tokens AS (
   SELECT pid, death_cmp, string_split_regex(prep, '\\s+') AS t
   FROM pathB WHERE prep IS NOT NULL AND prep != '')""",

