@@ -90,6 +90,22 @@ def date_cmp_str(date_col: Column, str_col: Column) -> Column:
     return F.coalesce(F.date_format(date_col, "yyyy-MM-dd"), str_col)
 
 
+def strip_dash(raw: Column) -> Column:
+    """strip_dash (src/converters.py:97-98): lone '-' becomes empty."""
+    return F.when(F.trim(raw) == "-", F.lit("")).otherwise(raw)
+
+
+def validate_mother_tongue(resolved: Column, original: Column) -> Column:
+    """validate_mother_tongue (src/validators.py:50-54): any non-empty
+    original that is not the 'X' marker is flagged 'Epäselvä arvo'."""
+    return F.when(
+        original.isNotNull()
+        & (F.length(F.trim(original)) > 0)
+        & (F.upper(original) != "X"),
+        F.lit("Epäselvä arvo"),
+    )
+
+
 # DuckDB renderings of the same logic, for oracle_sql().
 
 def duckdb_clean_expr(raw: str) -> str:

@@ -92,9 +92,15 @@ def casualty_features(records: DataFrame, rank_links: DataFrame, unit_links: Dat
     )
 
 
-def _block_key(family: F.Column, death_iso: F.Column) -> F.Column:
-    return F.concat_ws(
-        "|", F.substring(ascii_fold(F.lower(family)), 1, 3), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?"))
+def _block_keys(family: F.Column, death_iso: F.Column, birth_iso: F.Column) -> F.Column:
+    """Two blocking keys per row: (folded family prefix, death year) and
+    (…, birth year). The union of passes keeps recall when one date is dirty
+    (a record whose death date failed conversion still blocks on its birth
+    year); '?' placeholders never match the fully-dated actor side."""
+    fam3 = F.substring(ascii_fold(F.lower(family)), 1, 3)
+    return F.array(
+        F.concat_ws("|", fam3, F.concat(F.lit("D"), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?")))),
+        F.concat_ws("|", fam3, F.concat(F.lit("B"), F.coalesce(F.substring(birth_iso, 1, 4), F.lit("?")))),
     )
 
 
@@ -160,7 +166,9 @@ def link_persons(
 ) -> DataFrame:
     """Blocked candidate join + logistic scoring + mutual-best-match.
     -> triples (record_uri, CRM.P70_documents, actor_uri)."""
-    left = features.withColumn("bk", _block_key(F.col("family"), F.col("death_iso")))
+    left = features.withColumn(
+        "bk", F.explode(_block_keys(F.col("family"), F.col("death_iso"), F.col("birth_iso")))
+    )
     right = actors.select(
         "actor_uri",
         F.col("given").alias("a_given"),
@@ -171,7 +179,9 @@ def link_persons(
         F.col("rank_level").alias("a_rank_level"),
         F.col("unit_uri").alias("a_unit"),
         F.col("birth_place").alias("a_place"),
-    ).withColumn("bk", _block_key(F.col("a_family"), F.col("a_death")))
+    ).withColumn(
+        "bk", F.explode(_block_keys(F.col("a_family"), F.col("a_death"), F.col("a_birth")))
+    )
 
     if salt_buckets > 1:
         # deterministic salting for Zipfian blocks: big side takes a
@@ -184,7 +194,7 @@ def link_persons(
     else:
         join_keys = ["bk"]
 
-    pairs = left.join(right, join_keys)
+    pairs = left.join(right, join_keys).dropDuplicates(["record_uri", "actor_uri"])
     scored = score_pairs(pairs).filter(F.col("score") >= threshold)
 
     # mutual best match, deterministic tie-break on the partner URI

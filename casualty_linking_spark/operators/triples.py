@@ -168,6 +168,19 @@ def fix_by_direct_uri_mappings(graph: DataFrame) -> DataFrame:
     return graph.withColumn("obj", obj).dropDuplicates(TRIPLE_COLS)
 
 
+def unique_value_violations(graph: DataFrame, pred: str) -> DataFrame:
+    """A5 — the reference's graph.value(s, p, any=False) raises
+    UniquenessError on duplicate values (src/linker.py:48-62); as dataflow
+    this is an audit aggregation: subjects with >1 object for ``pred`` land
+    in the quarantine output instead of raising."""
+    return (
+        graph.filter(F.col("pred") == pred)
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("n_values"), F.sort_array(F.collect_set("obj")).alias("values"))
+        .filter(F.col("n_values") > 1)
+    )
+
+
 def documents_links(graph: DataFrame, inverse_links: DataFrame) -> DataFrame:
     """J8 (reference src/tasks.py:17-44): for each DeathRecord lacking a
     crm:P70_documents link, look up persons carrying the inverse

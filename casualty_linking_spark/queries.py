@@ -694,12 +694,21 @@ def _fold_sql(e: str) -> str:
 
 
 def _person_link_ctes() -> list[str]:
-    bk_f = f"substr({_fold_sql('lower(f.family)')}, 1, 3) || '|' || coalesce(substr(f.death_iso, 1, 4), '?')"
-    bk_a = f"substr({_fold_sql('lower(a.family)')}, 1, 3) || '|' || coalesce(substr(a.death_iso, 1, 4), '?')"
+    # dual blocking keys (fam prefix x death-year | birth-year): a shared
+    # exploded key 'xxx|Dyyyy'/'xxx|Byyyy' exists iff family prefixes match
+    # AND (death years match OR birth years match); '?' never matches the
+    # fully-dated actor side.
+    fam_eq = (
+        f"substr({_fold_sql('lower(f.family)')}, 1, 3) = substr({_fold_sql('lower(a.family)')}, 1, 3)"
+    )
+    year_eq = (
+        "(coalesce(substr(f.death_iso, 1, 4), '?') = coalesce(substr(a.death_iso, 1, 4), '!')"
+        " OR coalesce(substr(f.birth_iso, 1, 4), '?') = coalesce(substr(a.birth_iso, 1, 4), '!'))"
+    )
     return _features_ctes() + [
         f"""scored AS (
   SELECT f.record_uri, a.actor_uri, {_pair_score_sql()} AS score
-  FROM features f JOIN actors a ON {bk_f} = {bk_a}
+  FROM features f JOIN actors a ON {fam_eq} AND {year_eq}
   WHERE {_pair_score_sql()} >= 0.85)""",
         """mutual AS (
   SELECT record_uri, actor_uri FROM (
@@ -1058,6 +1067,41 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import lsh_topk
+
+    return lsh_topk(_embs(spark, sf_dir), _query_vectors(spark, sf_dir), dim=EMB_DIM, k=ANN_K)
+
+
+def oracle_ann_lsh_topk() -> str:
+    from .operators.similarity_search import N_PLANES, N_TABLES, _hyperplane
+
+    def bucket_sql(table: int) -> str:
+        bits = []
+        for p in range(N_PLANES):
+            plane = _hyperplane(EMB_DIM, p, table)
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END")
+        return f"'t{table}:' || " + " || ".join(bits)
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, v, {bucket_sql(t)} AS bucket FROM corpus" for t in range(N_TABLES)
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS ({keyed}),
+qkeys AS (SELECT vec_id AS query_id, v AS qv, bucket FROM keyed WHERE vec_id < {N_ANN_QUERIES}),
+cands AS (
+  SELECT DISTINCT q.query_id, q.qv, c.vec_id, c.v
+  FROM keyed c JOIN qkeys q ON c.bucket = q.bucket),
+ranked AS (
+  SELECT query_id, vec_id, list_cosine_similarity(v, qv) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC) AS rank
+  FROM cands)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dup_pairs
 
@@ -1101,6 +1145,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
     "text_profile": (q_text_profile, oracle_text_profile),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
+    "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
     "emb_near_dup": (q_emb_near_dup, oracle_emb_near_dup),
 }
 
