@@ -18,19 +18,24 @@ from .. import namespaces as NS
 
 
 def link_ranks(records: DataFrame, rank_labels: DataFrame) -> DataFrame:
-    """-> triples (record_uri, SCHEMA_CAS.rank, rank_uri)."""
-    cands = (
-        records.filter(F.col("rank_literal").isNotNull())
-        .select("record_uri", "rank_literal")
-        .join(
-            F.broadcast(rank_labels),
-            F.lower(F.trim(F.col("rank_literal"))) == F.lower(F.col("label")),
-        )
+    """-> triples (record_uri, SCHEMA_CAS.rank, rank_uri).
+
+    Resolution happens per DISTINCT literal (the rank vocabulary is a few
+    hundred strings at any corpus size), so the only full-data operation is
+    a broadcast hash join — no shuffle of the record stream at all."""
+    recs = records.filter(F.col("rank_literal").isNotNull()).select(
+        "record_uri", "rank_literal"
     )
-    w = Window.partitionBy("record_uri").orderBy(
+    lits = recs.select("rank_literal").distinct()
+    cands = lits.join(
+        F.broadcast(rank_labels),
+        F.lower(F.trim(F.col("rank_literal"))) == F.lower(F.col("label")),
+    )
+    w = Window.partitionBy("rank_literal").orderBy(
         F.col("is_pref").desc(), F.col("rank_uri").asc()
     )
-    best = cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best_lit = cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = recs.join(F.broadcast(best_lit.select("rank_literal", "rank_uri")), "rank_literal")
     return best.select(
         F.col("record_uri").alias("subj"),
         F.lit(NS.cas("rank")).alias("pred"),

@@ -116,20 +116,22 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
         F.col("score").desc(), F.col("unit_uri").asc()
     )
     best_pair = per_unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    with_cover = recs.filter(F.col("unit_code").isNotNull()).join(
+    # one broadcast join covers every record: null cover keys simply don't
+    # match, leaving score null — so both the accepted set and the
+    # fall-through set (no cover / unknown cover / sub-threshold,
+    # src/linker.py:188) are filters over the same joined stream, with NO
+    # shuffle of the record stream anywhere in path A.
+    scored_recs = recs.join(
         F.broadcast(best_pair.select("unit_code", "unit_literal", "unit_uri", "score")),
         ["unit_code", "unit_literal"],
         "left",
     )
-    links_a = with_cover.filter(F.col("score") >= COVER_NUMBER_SCORE_LIMIT)
-
-    # ---- fall-through set: no cover OR sub-threshold best or unknown cover
-    # (src/linker.py:188)
-    failed_a = with_cover.filter(
-        F.col("score").isNull() | (F.col("score") < COVER_NUMBER_SCORE_LIMIT)
-    ).select("record_uri")
-    path_b_recs = recs.filter(F.col("unit_code").isNull()).select("record_uri").unionByName(failed_a)
-    path_b = recs.join(path_b_recs, "record_uri", "left_semi")
+    links_a = scored_recs.filter(F.col("score") >= COVER_NUMBER_SCORE_LIMIT)
+    path_b = scored_recs.filter(
+        F.col("unit_code").isNull()
+        | F.col("score").isNull()
+        | (F.col("score") < COVER_NUMBER_SCORE_LIMIT)
+    )
 
     # Winter-War tagging (string compare on the literal the reference sees)
     period = path_b.filter(F.col("death_cmp") < WINTER_WAR_CUTOFF).select(
