@@ -884,6 +884,142 @@ def oracle_generate_births() -> str:
     )
 
 
+def q_generate_deaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["deaths"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_deaths() -> str:
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    ev = "'http://ldf.fi/warsa/events/death_p' || CAST(pid AS VARCHAR)"
+    ts = "'http://ldf.fi/warsa/events/times/death_p' || CAST(pid AS VARCHAR)"
+    preferred = synth._case_over_mod(
+        "pid * 5",
+        [
+            (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + w) if w
+            else ((NS.PNR_NS + "P_" + p) if p else (NS.MUNICIPALITIES + "k" + code))
+            for code, _, p, w in dims.MUNICIPALITIES
+        ],
+    )
+    date_lit = _DEATH_CMP
+    rows = [
+        (ev, NS.RDF_TYPE, f"'{NS.warsa('Death')}'", "NULL"),
+        (ev, NS.CRM + "P100_was_death_of", person, "NULL"),
+        (ev, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' kuoli'", "'fi'"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' died'", "'en'"),
+        (ev, NS.CRM + "P7_took_place_at", preferred, "NULL"),
+        (ev, NS.CRM + "P4_has_time-span", f"CASE WHEN ({date_lit}) IS NOT NULL THEN {ts} END", "NULL"),
+        (ts, NS.CRM + "P82a_begin_of_the_begin", date_lit, "NULL"),
+        (ts, NS.CRM + "P82b_end_of_the_end", date_lit, "NULL"),
+        (ts, NS.SKOS_PREF_LABEL, date_lit, "NULL"),
+        (ts, NS.RDF_TYPE, f"CASE WHEN ({date_lit}) IS NOT NULL THEN '{NS.CRM}E52_Time-Span' END", "NULL"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang FROM records"
+        for s, p, o, lang in rows
+    ]
+    return (
+        synth.oracle_prelude()
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+def q_generate_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["promotions"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_promotions() -> str:
+    """Promotion events (G7): expected rank link + fi/en prefLabel lookup
+    rendered from the rank dimension at import time (src/person_generator.py:131-151)."""
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    ev = "'http://ldf.fi/warsa/events/promotion_cas_p' || CAST(pid AS VARCHAR)"
+
+    by_label = {r[1].lower(): r for r in dims.RANKS}  # label_fi -> row
+    slugs = [slug for slug, *_ in dims.RANKS]
+
+    def rank_of(i: int, dirt: str | None = None) -> tuple[str, str, str]:
+        lit = dirt or synth.RANK_LITERALS[i]
+        fixed = {"Alipuseeri": "Aliupseeri", "Alikers": "Alikersantti"}.get(lit, lit)
+        row = by_label[fixed.lower()]
+        return NS.RANKS_NS + row[0], row[1], row[2]
+
+    n = len(synth.RANK_LITERALS)
+    clean_uri = synth._case_over_mod("pid", [rank_of(i)[0] for i in range(n)])
+    clean_fi = synth._case_over_mod("pid", [rank_of(i)[1].lower() for i in range(n)])
+    clean_en = synth._case_over_mod("pid", [rank_of(i)[2].lower() for i in range(n)])
+    d19 = rank_of(0, "Alipuseeri")
+    d23 = rank_of(0, "Alikers")
+
+    def dirty(clean: str, v19: str, v23: str) -> str:
+        return (
+            f"CASE WHEN pid % 41 = 19 THEN '{v19}' WHEN pid % 41 = 23 THEN '{v23}' ELSE {clean} END"
+        )
+
+    rank_uri = dirty(clean_uri, d19[0], d23[0])
+    rank_fi = dirty(clean_fi, d19[1].lower(), d23[1].lower())
+    rank_en = dirty(clean_en, d19[2].lower(), d23[2].lower())
+    rows = [
+        (ev, NS.RDF_TYPE, f"'{NS.warsa('Promotion')}'", "NULL"),
+        (ev, NS.CRM + "P11_had_participant", person, "NULL"),
+        (ev, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (ev, NS.HAS_RANK_PROP, rank_uri, "NULL"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' ylennettiin sotilasarvoon ' || ({rank_fi})", "'fi'"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' was promoted to ' || ({rank_en})", "'en'"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang FROM records"
+        for s, p, o, lang in rows
+    ]
+    return (
+        synth.oracle_prelude()
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+def q_generate_joinings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["joinings"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_joinings() -> str:
+    """Joining events (G8): one event URI per linked casualty, P144 per
+    linked unit, labels carry the raw unit literal — unit links recomputed
+    with the shared unit CTEs."""
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    ev = "'http://ldf.fi/warsa/events/joining_cas_p' || CAST(pid AS VARCHAR)"
+    link_cte = """unit_link AS (
+  SELECT DISTINCT pid AS ul_pid, unit_uri FROM (
+    SELECT pid, unit_uri FROM bestA WHERE rn = 1 AND score >= 20
+    UNION ALL SELECT pid, unit_uri FROM bestB WHERE rn = 1))"""
+    base = f"FROM records r JOIN (SELECT DISTINCT ul_pid FROM unit_link) u ON r.pid = u.ul_pid"
+    rows = [
+        (ev, NS.RDF_TYPE, f"'{NS.warsa('PersonJoining')}'", "NULL"),
+        (ev, NS.CRM + "P143_joined", person, "NULL"),
+        (ev, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' liittyi joukko-osastoon ' || trim(josnimi)", "'fi'"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' joined ' || trim(josnimi)", "'en'"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang {base}" for s, p, o, lang in rows
+    ]
+    selects.append(
+        f"SELECT {ev.replace('pid', 'l.ul_pid')} AS subj, '{NS.CRM}P144_joined_with' AS pred, "
+        f"l.unit_uri AS obj, NULL AS lang FROM unit_link l"
+    )
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte()] + _unit_common_ctes() + [link_cte])
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text analysis / ANN over documents & embeddings
 # ---------------------------------------------------------------------------
@@ -1139,6 +1275,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_connected_components": (q_connected_components, oracle_connected_components),
     "kg_generate_persons": (q_generate_persons, oracle_generate_persons),
     "kg_generate_births": (q_generate_births, oracle_generate_births),
+    "kg_generate_deaths": (q_generate_deaths, oracle_generate_deaths),
+    "kg_generate_promotions": (q_generate_promotions, oracle_generate_promotions),
+    "kg_generate_joinings": (q_generate_joinings, oracle_generate_joinings),
     "dedup_exact": (q_dedup_exact, oracle_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),
