@@ -223,9 +223,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     of the connected component. Converges in O(log n) iterations for typical
     link graphs; each iteration is one shuffle + localCheckpoint to cut the
     lineage (a 10^12-scale job would checkpoint to the cluster store)."""
-    sym = edges.select("src", "dst").unionByName(
+    # cut lineage first: without it every iteration's join re-executes the
+    # whole upstream linkage chain that produced the edges
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     comp = (
         sym.select(F.col("src").alias("vertex"))
         .distinct()
