@@ -99,19 +99,103 @@ def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return j
 
 
+_JW_VEC_MAXLEN = 64  # vectorized path cap; longer pairs fall back to the scalar loop
+
+
+def _jw_batch(a_bytes: list[bytes], b_bytes: list[bytes]) -> np.ndarray:
+    """Batch Jaro-Winkler over byte strings, vectorized across the batch.
+
+    The classic per-pair greedy matching loop runs over *character positions*
+    (bounded by max string length) with every row of the batch advanced at
+    once as 2-D numpy boolean ops — O(maxlen) numpy passes instead of
+    O(batch * len^2) Python. Semantics identical to ``jaro_winkler_py`` over
+    latin-1-decoded bytes (property-tested in tests/test_functions.py).
+    """
+    n = len(a_bytes)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    l1 = np.fromiter((len(x) for x in a_bytes), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(x) for x in b_bytes), dtype=np.int64, count=n)
+
+    long_mask = (l1 > _JW_VEC_MAXLEN) | (l2 > _JW_VEC_MAXLEN)
+    out = np.empty(n, dtype=np.float64)
+    if long_mask.any():
+        for i in np.nonzero(long_mask)[0]:
+            out[i] = jaro_winkler_py(
+                a_bytes[i].decode("latin-1"), b_bytes[i].decode("latin-1")
+            )
+        keep = ~long_mask
+        if not keep.any():
+            return out
+        out[keep] = _jw_batch(
+            [a_bytes[i] for i in np.nonzero(keep)[0]],
+            [b_bytes[i] for i in np.nonzero(keep)[0]],
+        )
+        return out
+
+    L1 = max(int(l1.max()), 1)
+    L2 = max(int(l2.max()), 1)
+    # int16 matrices with distinct negative pads so padding never matches;
+    # built in one frombuffer pass over ljust-joined bytes, pad positions
+    # then overwritten by column-index mask (no per-row Python loop)
+    A = (
+        np.frombuffer(b"".join(s.ljust(L1, b"\x00") for s in a_bytes), dtype=np.uint8)
+        .reshape(n, L1)
+        .astype(np.int16)
+    )
+    B = (
+        np.frombuffer(b"".join(s.ljust(L2, b"\x00") for s in b_bytes), dtype=np.uint8)
+        .reshape(n, L2)
+        .astype(np.int16)
+    )
+    A[np.arange(L1) >= l1[:, None]] = -1
+    B[np.arange(L2) >= l2[:, None]] = -2
+
+    cols2 = np.arange(L2)
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    flags1 = np.zeros((n, L1), dtype=bool)
+    flags2 = np.zeros((n, L2), dtype=bool)
+    rows = np.arange(n)
+    for i in range(L1):
+        lo = np.maximum(0, i - window)[:, None]
+        hi = np.minimum(l2, i + window + 1)[:, None]
+        cand = (B == A[:, i : i + 1]) & ~flags2 & (cols2 >= lo) & (cols2 < hi)
+        j = cand.argmax(axis=1)  # greedy first match, as in the scalar loop
+        hit = cand[rows, j]
+        flags1[:, i] = hit
+        flags2[rows[hit], j[hit]] = True
+
+    m = flags1.sum(axis=1)
+    # transpositions: matched chars of each side in position order;
+    # np.nonzero is row-major so the two streams align row by row
+    r1, c1 = np.nonzero(flags1)
+    _, c2 = np.nonzero(flags2)
+    mism = (A[r1, c1] != B[r1, c2]).astype(np.int64)
+    t = np.bincount(r1, weights=mism, minlength=n).astype(np.int64) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / l1 + m / l2 + (m - t) / np.maximum(m, 1)) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where((l1 == 0) & (l2 == 0), 1.0, jaro)
+
+    P = min(4, L1, L2)
+    prefix = np.zeros(n, dtype=np.int64)
+    if P > 0:
+        eq = (A[:, :P] == B[:, :P]) & (
+            np.arange(P) < np.minimum(np.minimum(l1, l2), 4)[:, None]
+        )
+        prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    return np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     """Operates on UTF-8 bytes (not codepoints) — byte-for-byte identical to
-    DuckDB's jaro_winkler_similarity (verified in tests/test_similarity.py)."""
-    av = a.fillna("").to_numpy()
-    bv = b.fillna("").to_numpy()
-    out = np.empty(len(av), dtype=np.float64)
-    for i in range(len(av)):
-        out[i] = jaro_winkler_py(
-            av[i].encode("utf-8").decode("latin-1"),
-            bv[i].encode("utf-8").decode("latin-1"),
-        )
-    return pd.Series(out)
+    DuckDB's jaro_winkler_similarity (verified in tests). Batch-vectorized
+    via numpy (_jw_batch); no per-row Python in the hot path."""
+    a_bytes = [x.encode("utf-8") for x in a.fillna("")]
+    b_bytes = [x.encode("utf-8") for x in b.fillna("")]
+    return pd.Series(_jw_batch(a_bytes, b_bytes))
 
 
 # ASCII folding for scorer inputs: Spark's levenshtein counts codepoints while

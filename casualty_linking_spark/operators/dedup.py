@@ -9,8 +9,12 @@ Five dedup families, all engineered for the 100 TB posture:
                    JVM expression work (array transforms over built-ins, no
                    UDF); the only shuffle is on band keys, whose fan-out
                    bounds candidate pairs (classic MMDS ch.3 scheme).
-* simhash        — 16-bit majority-vote fingerprint over token hashes;
-                   near-dup = equal fingerprint bucket.
+* simhash        — 64-bit majority-vote fingerprint over token hashes
+                   (16 md5 hex nibbles); exact-dup buckets on the full
+                   fingerprint, near-dup via 4 banded 16-bit sub-fingerprint
+                   keys (pigeonhole: any pair at Hamming distance <= 3 shares
+                   a band) + exact Hamming verify within buckets — never a
+                   window over a 2^16-key skew bomb.
 * n-gram Jaccard — exact verification of LSH candidate pairs
                    (array_intersect/array_union on shingle sets).
 * embedding cosine — near-dup pairs above a cosine threshold, blocked by
@@ -133,45 +137,129 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+_HEX = "0123456789abcdef"
+SIMHASH_NIBBLES = 16  # 64-bit fingerprint as 16 md5-hex nibbles
+SIMHASH_BANDS = 4     # 4 x 16-bit bands -> any pair at Hamming <= 3 shares one
+SIMHASH_MAX_HAMMING = 3
+
+
 def _hex_nibble_to_int(c: Column) -> Column:
-    return F.instr(F.lit("0123456789abcdef"), c) - 1
+    return F.instr(F.lit(_HEX), c) - 1
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit simhash over word hashes: bit p set iff the majority of words
-    have bit p set in the first 4 hex chars of their md5. Bit extraction is
-    plain arithmetic (floor-div by powers of two) on hex nibbles so the
-    DuckDB oracle replicates it exactly."""
-    w = F.array_distinct(words_col(text))
+def simhash64_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash as a 16-char lowercase hex string.
 
-    def word_bit(word: Column, p: Column) -> Column:
-        nib = _hex_nibble_to_int(F.md5(word).substr((p / 4).cast("int") + 1, F.lit(1)))
-        power = F.pow(F.lit(2.0), (F.lit(3) - p % 4).cast("double"))
-        return (F.floor(nib / power).cast("int") % 2).cast("int")
+    Bit p (0..63) is set iff the majority of the doc's distinct words have
+    bit p set in their md5 (nibble p//4, bit 3-p%4 — plain floor-div
+    arithmetic on hex nibbles, so the DuckDB oracle replicates it exactly).
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda p: F.when(
-            F.aggregate(w, F.lit(0), lambda acc, word: acc + word_bit(word, p)) * 2
-            > F.size(w),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda p: F.pow(F.lit(2.0), (F.lit(15) - p).cast("double")).cast("int"),
-    )
-    return F.aggregate(
-        F.zip_with(bits, weights, lambda b, wgt: b * wgt), F.lit(0), lambda acc, x: acc + x
+    Shape: explode distinct words to rows, hash each word ONCE, fold with a
+    single groupBy(doc_id) carrying 64 bit-sums + a word count (map-side
+    partial agg, one shuffle) — the array-lambda formulation would re-evaluate
+    the word set per bit (the measured 12x minhash blowup). explode_outer
+    keeps wordless docs as a null-word row: their bit-sums are null, every
+    majority test is null -> 0, yielding the all-zeros fingerprint with no
+    second scan or join-back."""
+    wx = documents.select(
+        F.col("doc_id"),
+        F.explode_outer(F.array_distinct(words_col(F.col("text")))).alias("word"),
+    ).withColumn("h", F.md5("word"))
+    aggs = [F.count("word").alias("n_words")]
+    for i in range(SIMHASH_NIBBLES):
+        v = _hex_nibble_to_int(F.substring("h", i + 1, 1))
+        for j in range(4):  # bit weight 2^(3-j) within the nibble
+            aggs.append(
+                F.sum((F.floor(v / (1 << (3 - j))).cast("int") % 2)).alias(f"s_{i}_{j}")
+            )
+    sums = wx.groupBy("doc_id").agg(*aggs)
+    digits = [
+        sum(
+            F.when(F.col(f"s_{i}_{j}") * 2 > F.col("n_words"), F.lit(1 << (3 - j))).otherwise(F.lit(0))
+            for j in range(4)
+        ).alias(f"d{i}")
+        for i in range(SIMHASH_NIBBLES)
+    ]
+    return sums.select("doc_id", *digits).select(
+        "doc_id",
+        F.concat(
+            *[F.substring(F.lit(_HEX), F.col(f"d{i}") + 1, 1) for i in range(SIMHASH_NIBBLES)]
+        ).alias("simhash"),
     )
 
 
 def simhash_buckets(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash, canonical_id) — equal-fingerprint near-dup buckets."""
+    """(doc_id, simhash, canonical_id) — equal-64-bit-fingerprint dup groups.
+    2^64 keys: group sizes are true duplicate-cluster sizes, not hash
+    collisions, so the window is skew-safe at corpus scale."""
     w = Window.partitionBy("simhash")
+    return simhash64_fingerprints(documents).withColumn(
+        "canonical_id", F.min("doc_id").over(w)
+    )
+
+
+def _nibble(fp: Column, i: Column) -> Column:
+    return _hex_nibble_to_int(F.substring(fp, i + F.lit(1), 1))
+
+
+def _popcount4(v: Column) -> Column:
+    """Popcount of a 4-bit value by floor-div arithmetic (oracle-portable)."""
+    return sum((F.floor(v / (1 << k)).cast("int") % 2) for k in range(4))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char fingerprints: sum of nibble
+    XOR popcounts (JVM built-ins only)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_NIBBLES - 1)),
+            lambda i: _popcount4(_nibble(a, i).bitwiseXOR(_nibble(b, i))),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming <= max_hamming) via banded
+    sub-fingerprint buckets: 4 bands of 16 bits — by pigeonhole, any pair
+    within Hamming distance 3 agrees exactly on at least one band, so the
+    only shuffle is on band keys and candidates are verified by exact Hamming
+    within buckets. Never an all-pairs join; never a global window."""
+    fp = simhash64_fingerprints(documents)
+    width = SIMHASH_NIBBLES // SIMHASH_BANDS
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("simhash", b * width + 1, width).alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_idx", "bb.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_key"
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
     return (
-        documents.select(F.col("doc_id"), simhash16(F.col("text")).alias("simhash"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
+        cands.withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

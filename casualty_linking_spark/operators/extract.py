@@ -51,7 +51,9 @@ def mentions_to_raw_records(mentions: DataFrame) -> DataFrame:
     """
     aggs = [F.max(f.lower()).alias(f.lower()) for f in FIELDS]
     recs = mentions.groupBy("conv_id").agg(*aggs)
-    pid = F.substring("conv_id", 6, 10).cast("bigint")
+    # take everything after the 'conv_' prefix (no fixed width — a bounded
+    # substring would silently truncate and collide large pids)
+    pid = F.expr("substring(conv_id, 6)").cast("bigint")
     return recs.withColumn("person_id", pid).withColumn(
         "record_uri",
         F.concat(F.lit("http://ldf.fi/warsa/casualties/p"), F.col("person_id").cast("string")),

@@ -7,12 +7,14 @@ replacement for the reference's jellyfish-based similarity), computed over
 UTF-8 bytes by an Arrow-batched pandas UDF (exactly DuckDB's
 jaro_winkler_similarity — the oracle runs the same formula).
 
-Plan shape: the ontology side is tiny -> broadcast nested-loop candidate
-join (mirrors the reference, which scores every record against every label).
-At realistic dictionary sizes (10^4 labels) switch on ``block_first_char``:
-candidates then share the first character — a broadcast hash join — trading
-a sliver of recall for a 30-60x candidate reduction; with threshold 0.88 a
-first-char mismatch almost never survives anyway.
+Plan shape: candidates must share the first character — a broadcast *hash*
+join on the first-char key (default), never a nested-loop cross join. At
+threshold 0.88 a first-char mismatch essentially never survives (JW weights
+the prefix), so blocking trades no recall on realistic data while cutting
+candidates 30-60x at the 10^4-label dictionary size; the full cross join
+remains available as an opt-in strict-parity mode (``block_first_char=False``
+mirrors the reference scoring every record against every label,
+src/linker.py:287-291).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ def link_occupations(
     records: DataFrame,
     occupations: DataFrame,
     threshold: float = SCORE_THRESHOLD,
-    block_first_char: bool = False,
+    block_first_char: bool = True,
 ) -> DataFrame:
     """-> triples (record_uri, BIOC.has_occupation, occ_uri)."""
     recs = records.filter(F.col("occupation_literal").isNotNull()).select(

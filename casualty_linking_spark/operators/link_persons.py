@@ -124,21 +124,34 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
         .withColumn("jw_family", jaro_winkler(F.lower("family"), F.lower("a_family")))
         .withColumn("birth_eq", _eq_feature(F.col("birth_iso"), F.col("a_birth")))
         .withColumn("death_eq", _eq_feature(F.col("death_iso"), F.col("a_death")))
+        # empty (non-null) arrays carry no evidence either way — dedupe's
+        # missing-value 0.5, same as null (array_compact can yield [] when
+        # every variant was null)
         .withColumn(
             "place_eq",
-            F.when(F.col("birth_place").isNull() | F.col("a_place").isNull(), F.lit(0.5))
+            F.when(
+                F.col("birth_place").isNull() | (F.size("birth_place") == 0)
+                | F.col("a_place").isNull(),
+                F.lit(0.5),
+            )
             .when(F.array_contains("birth_place", F.col("a_place")), F.lit(1.0))
             .otherwise(F.lit(0.0)),
         )
         .withColumn(
             "rank_eq",
-            F.when(F.col("rank").isNull() | F.col("a_rank").isNull(), F.lit(0.5))
+            F.when(
+                F.col("rank").isNull() | (F.size("rank") == 0) | F.col("a_rank").isNull(),
+                F.lit(0.5),
+            )
             .when(F.array_contains("rank", F.col("a_rank")), F.lit(1.0))
             .otherwise(F.lit(0.0)),
         )
         .withColumn(
             "unit_eq",
-            F.when(F.col("units").isNull() | F.col("a_unit").isNull(), F.lit(0.5))
+            F.when(
+                F.col("units").isNull() | (F.size("units") == 0) | F.col("a_unit").isNull(),
+                F.lit(0.5),
+            )
             .when(F.array_contains("units", F.col("a_unit")), F.lit(1.0))
             .otherwise(F.lit(0.0)),
         )
@@ -216,13 +229,19 @@ def link_persons(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Canonicalize sameAs/link closures: iterative min-id label propagation
     (the GraphFrames-free CC of SURVEY §4.3). edges(src, dst) undirected.
     Returns (vertex, component) with component = min vertex id (lexicographic)
-    of the connected component. Converges in O(log n) iterations for typical
-    link graphs; each iteration is one shuffle + localCheckpoint to cut the
-    lineage (a 10^12-scale job would checkpoint to the cluster store)."""
+    of the connected component.
+
+    Convergence is O(graph diameter) iterations — record-linkage closures are
+    shallow (mutual-best-match bounds degree), so the default comfortably
+    covers them, and non-convergence at max_iter raises rather than silently
+    returning split components (a path graph of > max_iter hops would
+    otherwise mislabel). Each iteration is one shuffle + localCheckpoint to
+    cut the lineage (a 10^12-scale job would checkpoint to the cluster store;
+    large-star/small-star hashing would give O(log n) if diameters grow)."""
     # cut lineage first: without it every iteration's join re-executes the
     # whole upstream linkage chain that produced the edges
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
@@ -234,6 +253,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    changed = 0
     for _ in range(max_iter):
         # candidate component per vertex: min over neighbors' components
         nbr = (
@@ -261,4 +281,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — graph diameter exceeds "
+            f"max_iter; raise max_iter or switch to large-star/small-star"
+        )
     return comp

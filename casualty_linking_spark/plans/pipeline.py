@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .. import dims
 from ..operators import extract, records as REC
@@ -26,7 +26,7 @@ from ..operators.persons_generate import generate_persons
 from ..operators.triples import records_to_triples, union_graphs
 from . import storage
 
-CODE_VERSION = "r1"
+CODE_VERSION = "r2"
 
 
 class Pipeline:
@@ -41,6 +41,27 @@ class Pipeline:
         self._fps: dict[str, str] = {}
 
     # -- stage machinery ----------------------------------------------------
+
+    def _input_identity(self) -> str:
+        """Identity of the source transcripts, folded into t0's fingerprint so
+        re-running against the same root with *different* input re-runs the
+        whole DAG (resume must never silently read back a stale t0). File-backed
+        sources: md5 of the sorted input-file list — metadata only, no scan
+        (parquet files are immutable-by-convention). In-memory/SQL-synthesized
+        sources (no input files): one aggregate pass — row count + order-
+        independent bit_xor of xxhash64 over all columns (xor, not sum:
+        summing 2^63-range hashes overflows under ANSI arithmetic)."""
+        files = self.transcripts.inputFiles()
+        if files:
+            basis = "files:" + "|".join(sorted(files))
+        else:
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in self.transcripts.columns]
+            row = self.transcripts.select(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*cols)).alias("h"),
+            ).first()
+            basis = f"agg:{row['n']}|{row['h']}"
+        return hashlib.md5(basis.encode()).hexdigest()
 
     def _fingerprint(self, stage: str, inputs: list[str]) -> str:
         basis = CODE_VERSION + "|" + stage + "|" + ",".join(self._fps.get(i, i) for i in inputs)
@@ -60,11 +81,15 @@ class Pipeline:
         man = storage.read_manifest(path)
         if man and man.get("fingerprint") == fp:
             return self.spark.read.parquet(path)
-        df = build()
+        # row count is observed during the write job itself (zero extra jobs —
+        # the previous count() re-scanned every stage output)
+        obs = Observation()
+        df = build().observe(obs, F.count(F.lit(1)).alias("n_rows"))
         storage.write_table(df, path, partition_by=partition_by)
         out = self.spark.read.parquet(path)
-        n = out.count()
-        storage.write_manifest(path, storage.snapshot_manifest(name, fp, n, inputs))
+        storage.write_manifest(
+            path, storage.snapshot_manifest(name, fp, obs.get["n_rows"], inputs)
+        )
         keys = metrics_keys or partition_by
         if keys:
             storage.write_table(
@@ -75,7 +100,7 @@ class Pipeline:
     # -- stages --------------------------------------------------------------
 
     def run(self) -> DataFrame:
-        t0 = self._stage("t0_transcripts", [], lambda: self.transcripts)
+        t0 = self._stage("t0_transcripts", [self._input_identity()], lambda: self.transcripts)
 
         t1 = self._stage(
             "t1_mentions", ["t0_transcripts"], lambda: extract.extract_mentions(t0)

@@ -229,7 +229,8 @@ SELECT subj, pred, obj FROM (
            PARTITION BY pid
            ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
          ) AS rn
-  FROM records CROSS JOIN occupations
+  FROM records JOIN occupations
+    ON substr(lower(ammatti), 1, 1) = substr(label, 1, 1)
   WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88
 ) WHERE rn = 1"""
     return synth.oracle_prelude([dims.occupations_cte()]) + sel
@@ -793,6 +794,7 @@ def _expected_occ_sql() -> str:
     from .functions.similarity import jaro_winkler_py
 
     def best(literal: str) -> str | None:
+        # first-char blocking mirrors link_occupations' default blocked join
         scored = sorted(
             (
                 (-jaro_winkler_py(
@@ -800,8 +802,11 @@ def _expected_occ_sql() -> str:
                     lbl.encode("utf-8").decode("latin-1"),
                 ), NS.OCCUPATIONS_NS + slug)
                 for slug, lbl in dims.OCCUPATIONS
+                if lbl[:1] == literal[:1]
             ),
         )
+        if not scored:
+            return None
         s, uri = scored[0]
         return uri if -s >= 0.88 else None
 
@@ -1107,27 +1112,70 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(_docs(spark, sf_dir))
 
 
-def oracle_dedup_simhash() -> str:
-    # mirror of operators/dedup.simhash16: majority vote over distinct words,
-    # bit p from hex nibble p//4 of md5(word), weight 2^(15-p)
-    bit = (
-        "CAST(floor((instr('0123456789abcdef', substr(md5(word), CAST((p - p % 4) / 4 AS INT) + 1, 1)) - 1) "
-        "/ power(2, 3 - p % 4)) AS INT) % 2"
-    )
-    return f"""
-WITH dw AS (
+# shared 64-bit simhash fingerprint CTEs (DuckDB mirror of
+# operators/dedup.simhash64_fingerprints: majority vote over distinct words,
+# nibble i of md5(word), bit weight 2^(3-j) within the nibble; wordless docs
+# -> all-zeros fingerprint)
+_SIMHASH64_CTES = """
+dw AS (
   SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), w -> w != '')) AS w
   FROM documents),
-wordbits AS (
-  SELECT doc_id, p, sum({bit}) AS ones, count(*) AS total
-  FROM (SELECT doc_id, unnest(w) AS word FROM dw)
-  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
-  GROUP BY doc_id, p),
-sh AS (
+nibbits AS (
+  SELECT doc_id, i,
+         sum(CAST(floor(v / 8) AS INT) % 2) AS b0, sum(CAST(floor(v / 4) AS INT) % 2) AS b1,
+         sum(CAST(floor(v / 2) AS INT) % 2) AS b2, sum(v % 2) AS b3, count(*) AS n
+  FROM (
+    SELECT doc_id, i, instr('0123456789abcdef', substr(md5(word), i + 1, 1)) - 1 AS v
+    FROM (SELECT doc_id, unnest(w) AS word FROM dw)
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i))
+  GROUP BY doc_id, i),
+fpagg AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN ones * 2 > total THEN CAST(power(2, 15 - p) AS BIGINT) ELSE 0 END) AS INT) AS simhash
-  FROM wordbits GROUP BY doc_id)
-SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id FROM sh"""
+         string_agg(substr('0123456789abcdef',
+           CASE WHEN 2*b0 > n THEN 8 ELSE 0 END + CASE WHEN 2*b1 > n THEN 4 ELSE 0 END
+           + CASE WHEN 2*b2 > n THEN 2 ELSE 0 END + CASE WHEN 2*b3 > n THEN 1 ELSE 0 END + 1, 1),
+           '' ORDER BY i) AS simhash
+  FROM nibbits GROUP BY doc_id),
+fps AS (
+  SELECT d.doc_id, coalesce(f.simhash, '0000000000000000') AS simhash
+  FROM documents d LEFT JOIN fpagg f ON d.doc_id = f.doc_id)
+""".strip()
+
+
+def oracle_dedup_simhash() -> str:
+    return f"""WITH {_SIMHASH64_CTES}
+SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id FROM fps"""
+
+
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def oracle_dedup_simhash_near() -> str:
+    # banded candidates (4 x 4-hex-char bands) + exact Hamming verify, nibble
+    # xor popcount by floor-div arithmetic (same formula as the Spark side)
+    pop = " + ".join(
+        f"CAST(floor(xor(va, vb) / {1 << k}) AS INT) % 2" for k in range(4)
+    )
+    return f"""WITH {_SIMHASH64_CTES},
+sbands AS (
+  SELECT doc_id, simhash, b AS band_idx, substr(simhash, b * 4 + 1, 4) AS band_key
+  FROM fps CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS fp_a, b.simhash AS fp_b
+  FROM sbands a JOIN sbands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sham AS (
+  SELECT doc_a, doc_b, sum({pop}) AS hamming
+  FROM (
+    SELECT doc_a, doc_b,
+           instr('0123456789abcdef', substr(fp_a, i + 1, 1)) - 1 AS va,
+           instr('0123456789abcdef', substr(fp_b, i + 1, 1)) - 1 AS vb
+    FROM scand CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i))
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM sham WHERE hamming <= 3"""
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1330,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),
     "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
+    "dedup_simhash_near": (q_dedup_simhash_near, oracle_dedup_simhash_near),
     "text_profile": (q_text_profile, oracle_text_profile),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),

@@ -37,7 +37,12 @@ def triples_to_ntriples(triples: DataFrame) -> DataFrame:
 
 
 def write_ttl(triples: DataFrame, path: str, single_file: bool = False) -> None:
-    df = triples_to_ntriples(triples).orderBy("line")
+    """Partition-local sort only: a global orderBy of the whole graph is a
+    full-range shuffle at 100 TB for a *text export*; N-Triples semantics are
+    line-order-independent, so sortWithinPartitions keeps files deterministic
+    per partition without the exchange. ``single_file`` (tiny graphs /
+    fixture interchange) coalesces first, making the sort total anyway."""
+    df = triples_to_ntriples(triples)
     if single_file:
         df = df.coalesce(1)
-    df.write.mode("overwrite").text(path)
+    df.sortWithinPartitions("line").write.mode("overwrite").text(path)

@@ -193,7 +193,10 @@ raw1 AS (
   FROM raw0
 ),
 records AS (
-  SELECT 'conv_' || lpad(CAST(r.pid AS {STR}), 8, '0') AS conv_id, r.*
+  -- lpad width 13: zero-padding keeps conv_ids lexicographically ordered and
+  -- can never truncate below 10^13 conversations (lpad TRUNCATES over-width
+  -- input, which at width 8 silently collided pids >= 10^8)
+  SELECT 'conv_' || lpad(CAST(r.pid AS {STR}), 13, '0') AS conv_id, r.*
   FROM raw1 r
 ),
 turn_ids AS (

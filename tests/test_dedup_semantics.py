@@ -53,7 +53,42 @@ def test_simhash_equal_for_exact_dups(spark):
     sh = {r.doc_id: r.simhash for r in out.collect()}
     for i in range(10):
         assert sh[i] == sh[i + 1000]
-        assert 0 <= sh[i] < 65536
+        assert len(sh[i]) == 16 and set(sh[i]) <= set("0123456789abcdef")
+
+
+def test_simhash_near_dup_pairs_surface_planted_dups(spark):
+    from casualty_linking_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _docs_with_dups(spark)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(d, max_hamming=3).collect()}
+    # exact dups: identical fingerprints -> hamming 0, always surfaced
+    for i in range(10):
+        assert pairs.get((i, i + 1000)) == 0, f"exact dup pair {i} missing"
+
+
+def test_simhash_near_dup_on_long_docs(spark):
+    """Simhash's near-dup regime: documents long enough that a one-word edit
+    moves few majority votes (the 40-word corpus docs flip 4-8 bits per extra
+    token — simhash is a long-document fingerprint, minhash covers shorts)."""
+    from casualty_linking_spark.operators.dedup import simhash_near_dup_pairs
+
+    words = [f"tok{i}" for i in range(400)]
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:-1] + ["changedtoken"])),  # one word replaced
+        (3, " ".join(f"other{i}" for i in range(400))),  # unrelated
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(d).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_bound_respected(spark):
+    from casualty_linking_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _docs_with_dups(spark)
+    assert simhash_near_dup_pairs(d, max_hamming=3).filter("hamming > 3").count() == 0
 
 
 def test_ann_self_is_top1(spark):
