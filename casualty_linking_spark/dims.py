@@ -47,7 +47,7 @@ RANKS = [
 # (slug, pref_label, alt_labels, cover_number or None, conflict)
 UNITS = [
     ("unit_jr8", "Jalkaväkirykmentti 8", ["JR 8", "JR8"], "8452", "ContinuationWar"),
-    ("unit_jr8_2k", "2./JR 8", ["2. Komppania/JR 8"], "8452", "ContinuationWar"),
+    ("unit_jr8_2k", "2./JR 8", ["2. Komppania/JR 8", "2. Komppania/Jalkaväkirykmentti 8"], "8452", "ContinuationWar"),
     ("unit_jr1", "Jalkaväkirykmentti 1", ["JR 1", "JR1"], "8101", "ContinuationWar"),
     ("unit_jr27", "Jalkaväkirykmentti 27", ["JR 27", "JR27"], "8327", "ContinuationWar"),
     ("unit_jr45", "Jalkaväkirykmentti 45", ["JR 45", "JR45"], "8345", "ContinuationWar"),
@@ -391,3 +391,65 @@ def codes_cte() -> str:
         for key, local in table.items():
             rows.append((kind, key, ns + local))
     return values_cte("codes", ["code_kind", "key", "uri"], rows)
+
+
+# --------------------------------------------------------------------------
+# S5 — dims as data: the municipalities dim parsed from a Turtle graph
+# (the reference loads exactly this graph at src/linker.py:90-96; the three
+# link predicates are the ones its link_municipalities adds at
+# src/linker.py:94-111).
+# --------------------------------------------------------------------------
+
+def municipalities_ttl() -> str:
+    """Render the linked-municipalities graph in the reference's fixture
+    block shape (input/old_municipalities.ttl layout) from the dim literals —
+    the generator of tests/fixtures/linked_municipalities.ttl, so the TTL
+    reader's output is testable against dim_municipalities row-for-row."""
+    blocks = []
+    for code, label, pnr, warsa_id in MUNICIPALITIES:
+        uri = NS.MUNICIPALITIES + "k" + code
+        cur = NS.PNR_NS + "P_" + pnr if pnr else None
+        war = NS.WARSA_MUNICIPALITIES_NS + "m_place_" + warsa_id if warsa_id else None
+        pref = war or cur or uri
+        lines = [
+            f"<{uri}>",
+            f"        a       <{NS.cas('Municipality')}> ;",
+            f"        <{NS.SKOS_PREF_LABEL}>",
+            f'                "{label}"@fi ;',
+        ]
+        if cur:
+            lines += [f"        <{NS.cas('current_municipality')}>", f"                <{cur}> ;"]
+        if war:
+            lines += [f"        <{NS.cas('wartime_municipality')}>", f"                <{war}> ;"]
+        lines += [f"        <{NS.cas('preferred_municipality')}>", f"                <{pref}> ."]
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + "\n"
+
+
+def dim_municipalities_from_triples(triples: DataFrame) -> DataFrame:
+    """Pivot a parsed municipalities graph (sources.ttl.read_turtle_blocks)
+    into the dim_municipalities shape — dims become data instead of in-code
+    literals when a real WarSampo TTL is available."""
+    p = lambda pred: F.max(F.when(F.col("pred") == pred, F.col("obj")))
+    agg = (
+        triples.groupBy("subj")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pred") == NS.RDF_TYPE) & (F.col("obj") == NS.cas("Municipality")),
+                    F.lit(1),
+                )
+            ).alias("is_mun"),
+            p(NS.SKOS_PREF_LABEL).alias("label"),
+            p(NS.cas("current_municipality")).alias("current_municipality"),
+            p(NS.cas("wartime_municipality")).alias("wartime_municipality"),
+            p(NS.cas("preferred_municipality")).alias("preferred_municipality"),
+        )
+        .filter(F.col("is_mun") == 1)
+    )
+    return agg.select(
+        F.col("subj").alias("mun_uri"), "label", "current_municipality",
+        "wartime_municipality",
+        F.coalesce("preferred_municipality", "wartime_municipality",
+                   "current_municipality", F.col("subj")).alias("preferred_municipality"),
+    )

@@ -18,7 +18,9 @@ Five dedup families, all engineered for the 100 TB posture:
 * n-gram Jaccard — exact verification of LSH candidate pairs
                    (array_intersect/array_union on shingle sets).
 * embedding cosine — near-dup pairs above a cosine threshold, blocked by
-                   label to avoid the n^2 cross join.
+                   random-hyperplane LSH buckets (the same deterministic
+                   bucket keys the ANN path uses) so candidate generation is
+                   a bucket self-join, never the n^2 cross join.
 
 Hashes are md5-based so the DuckDB oracle can reproduce them bit-for-bit
 (Spark's murmur hash() is engine-private; md5 is portable).
@@ -263,20 +265,31 @@ def simhash_near_dup_pairs(
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup pairs over the embedding column, blocked by label
-    (at scale: LSH random-hyperplane buckets instead of labels)."""
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, dim: int = 64
+) -> DataFrame:
+    """Cosine near-dup pairs over the embedding column, candidates from
+    random-hyperplane LSH buckets (similarity_search.lsh_bucket_key — the
+    identical deterministic keys the ANN path partitions by, so a production
+    table bucketed for search serves dedup for free). High-cosine pairs land
+    in the same sign-bit bucket in at least one table w.h.p.; the only
+    shuffle is the bucket self-join and every candidate is verified by exact
+    cosine."""
+    from .similarity_search import N_TABLES, cosine, lsh_bucket_key
+
     e = embeddings.select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    keyed = None
+    for t in range(N_TABLES):
+        part = e.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t).alias("bucket"))
+        keyed = part if keyed is None else keyed.unionByName(part)
+    a = keyed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     pairs = (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")

@@ -33,19 +33,16 @@ from ..functions.similarity import ascii_fold, jaro_winkler
 
 THRESHOLD = 0.85
 
-# Fixed calibrated logistic weights (offline replacement of dedupe's
-# trained model; see module docstring).
-WEIGHTS = {
-    "jw_given": 2.0,
-    "jw_family": 3.0,
-    "birth_eq": 2.5,
-    "death_eq": 2.5,
-    "place_eq": 1.0,
-    "rank_eq": 0.5,
-    "unit_eq": 0.5,
-    "level_sim": 0.5,
-}
-BIAS = -6.0
+# Calibrated logistic weights, fitted offline from labelled training pairs
+# by scripts/fit_link_weights.py (the deterministic stand-in for dedupe's
+# RecordLink training, src/linker.py:233-237) and validated against the
+# planted truth at P=1.0000 / R=0.9973 — see link_weights.py for the fit
+# provenance. dict() copy so tests/fit can patch WEIGHTS without mutating
+# the generated module.
+from .link_weights import FITTED_BIAS, FITTED_WEIGHTS
+
+WEIGHTS = dict(FITTED_WEIGHTS)
+BIAS = FITTED_BIAS
 
 
 def casualty_features(records: DataFrame, rank_links: DataFrame, unit_links: DataFrame,

@@ -32,7 +32,11 @@ from ..functions.dates import date_cmp_str
 from ..functions.similarity import ascii_fold, levenshtein_ratio
 
 COVER_NUMBER_SCORE_LIMIT = 20
-MAX_NGRAM = 3
+# the reference's ARPA candidate service allows up to 10-gram queries
+# (arpa_services/warsa_casualties_actor_units:21 maxNGrams=10); honoring the
+# full bound matters for long unit literals ("2. Komppania / JR 8" only
+# produces its full-label candidate at n=5)
+MAX_NGRAM = 10
 WINTER_WAR_CUTOFF = "1941-06-25"
 
 # Finnish unit-type abbreviation expansions (the role of the

@@ -22,6 +22,25 @@ def use_iceberg(spark: SparkSession) -> bool:
     return bool(spark.conf.get("spark.sql.catalog.spark_catalog.type", None))
 
 
+def write_table_iceberg(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Iceberg write path (DataFrameWriterV2): create-or-replace a partitioned
+    catalog table. Same operational contract as the parquet fallback —
+    idempotent overwrite, partition granularity — via Iceberg's atomic
+    snapshot commit instead of dynamic partition overwrite. Exercised by
+    tests/test_storage_iceberg.py when a catalog is configured (the container
+    ships no Iceberg runtime jar, so the test self-skips otherwise)."""
+    w = df.writeTo(table)
+    if partition_by:
+        from pyspark.sql.functions import col
+
+        w = w.partitionedBy(*[col(c) for c in partition_by])
+    w.createOrReplace()
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -94,6 +94,13 @@ _SUBJ_SQL = "'http://ldf.fi/warsa/casualties/p' || CAST(pid AS VARCHAR)"
 _BIRTH_DATE, _BIRTH_STR = duckdb_convert_date_exprs("saika")
 _DEATH_DATE, _DEATH_STR = duckdb_convert_date_exprs("kuolinaika")
 _DEATH_CMP = f"coalesce(CAST(({_DEATH_DATE}) AS VARCHAR), {_DEATH_STR})"
+_WOUND_DATE, _WOUND_STR = duckdb_convert_date_exprs("haavaika")
+_WOUND_CMP = f"coalesce(CAST(({_WOUND_DATE}) AS VARCHAR), {_WOUND_STR})"
+_MIA_DATE, _MIA_STR = duckdb_convert_date_exprs("katoaika")
+_MIA_CMP = f"coalesce(CAST(({_MIA_DATE}) AS VARCHAR), {_MIA_STR})"
+# x_stripper + urify over the sparse municipality codes ('' -> NULL -> no URI)
+_WOUND_MUN = f"'{REC.MUNICIPALITY_PREFIX}' || nullif(haavkunta, '')"
+_MIA_MUN = f"'{REC.MUNICIPALITY_PREFIX}' || nullif(katokunta, '')"
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +114,10 @@ SILVER_COLS = [
     "occupation_literal", "rank_literal", "unit_code", "unit_literal",
     "municipality_of_birth", "municipality_of_death", "municipality_of_burial",
     "date_of_birth", "date_of_birth_str", "date_of_death", "date_of_death_str",
+    "municipality_of_wounding", "place_of_wounding",
+    "date_of_wounding", "date_of_wounding_str",
+    "municipality_of_going_mia", "place_of_going_mia_literal",
+    "date_of_going_mia", "date_of_going_mia_str", "place_of_death_literal",
     "graveyard_number", "place_of_burial_number", "additional_information",
 ]
 
@@ -144,6 +155,15 @@ SELECT
   {_BIRTH_STR} AS date_of_birth_str,
   {_DEATH_DATE} AS date_of_death,
   {_DEATH_STR} AS date_of_death_str,
+  {_WOUND_MUN} AS municipality_of_wounding,
+  nullif(haavpaikka, '') AS place_of_wounding,
+  {_WOUND_DATE} AS date_of_wounding,
+  {_WOUND_STR} AS date_of_wounding_str,
+  {_MIA_MUN} AS municipality_of_going_mia,
+  nullif(katopaikka, '') AS place_of_going_mia_literal,
+  {_MIA_DATE} AS date_of_going_mia,
+  {_MIA_STR} AS date_of_going_mia_str,
+  nullif(kuolinpaikka, '') AS place_of_death_literal,
   nullif(hmaa, '') AS graveyard_number,
   nullif(hpaikka, '') AS place_of_burial_number,
   CASE WHEN vapaa_paikkatieto IS NULL OR vapaa_paikkatieto = '' THEN NULL
@@ -166,6 +186,9 @@ def q_record_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_record_errors() -> str:
     def err_block(col: str, tgt_date: str, tgt_str: str, after: str, before: str) -> str:
+        # the raw value column: planted absent fields are '' in the records
+        # CTE but NULL after extraction (nullif at extract time)
+        raw = f"nullif({col.lower()}, '')"
         return f"""
 SELECT CAST(pid AS VARCHAR) AS person_id,
   concat_ws(' ', nullif(snimi, ''), nullif(given_raw, '')) AS name,
@@ -174,17 +197,19 @@ SELECT CAST(pid AS VARCHAR) AS person_id,
        WHEN ({tgt_date}) IS NOT NULL AND ({tgt_date}) < DATE '{after}' THEN 'Päivämäärä liian varhainen'
        WHEN ({tgt_date}) IS NOT NULL AND ({tgt_date}) > DATE '{before}' THEN 'Päivämäärä liian myöhäinen'
        END AS error,
-  {'saika' if col == 'SAIKA' else 'kuolinaika'} AS value
+  {raw} AS value
 FROM records"""
 
     import datetime
     today = datetime.date.today().isoformat()
-    saika = err_block("SAIKA", _BIRTH_DATE, _BIRTH_STR, "1860-01-01", "1935-01-01")
-    kuolin = err_block("KUOLINAIKA", _DEATH_DATE, _DEATH_STR, "1939-11-30", today)
-    return (
-        synth.oracle_prelude()
-        + f"SELECT * FROM (({saika}) UNION ALL ({kuolin})) WHERE error IS NOT NULL"
-    )
+    blocks = [
+        err_block("SAIKA", _BIRTH_DATE, _BIRTH_STR, "1860-01-01", "1935-01-01"),
+        err_block("HAAVAIKA", _WOUND_DATE, _WOUND_STR, "1939-11-28", "1945-04-25"),
+        err_block("KATOAIKA", _MIA_DATE, _MIA_STR, "1939-11-28", "1945-04-25"),
+        err_block("KUOLINAIKA", _DEATH_DATE, _DEATH_STR, "1939-11-30", today),
+    ]
+    unions = " UNION ALL ".join(f"({b})" for b in blocks)
+    return synth.oracle_prelude() + f"SELECT * FROM ({unions}) WHERE error IS NOT NULL"
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +278,7 @@ def q_related_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unit_common_ctes() -> list[str]:
-    from .operators.link_units import ABBREVIATIONS
+    from .operators.link_units import ABBREVIATIONS, MAX_NGRAM
 
     # NB: DuckDB string literals do NOT process backslash escapes, so the
     # regex metachars go in verbatim ('\b', '\s').
@@ -285,12 +310,12 @@ def _unit_common_ctes() -> list[str]:
         """tokens AS (
   SELECT pid, death_cmp, string_split_regex(prep, '\\s+') AS t
   FROM pathB WHERE prep IS NOT NULL AND prep != '')""",
-        """grams AS (
+        f"""grams AS (
   SELECT pid, death_cmp,
          array_to_string(t[i : i + n - 1], ' ') AS ngram
   FROM (
     SELECT pid, death_cmp, t, n, unnest(generate_series(1, len(t) - n + 1)) AS i
-    FROM tokens, (VALUES (1), (2), (3)) g(n) WHERE len(t) >= n
+    FROM tokens, (SELECT unnest(generate_series(1, {MAX_NGRAM})) AS n) g WHERE len(t) >= n
   ))""",
         f"""bestB AS (
   SELECT pid, unit_uri, row_number() OVER (
@@ -403,11 +428,24 @@ def oracle_triples_casualties() -> str:
             f"CASE WHEN ({_BIRTH_DATE}) IS NOT NULL THEN {xd} END",
         ),
         NS.cas("municipality_of_birth"): uri_(f"'{mun_pref}' || skunta"),
+        NS.warsa("date_of_wounding"): (
+            _WOUND_CMP, "literal",
+            f"CASE WHEN ({_WOUND_DATE}) IS NOT NULL THEN {xd} END",
+        ),
+        NS.cas("municipality_of_wounding"): uri_(_WOUND_MUN),
+        NS.warsa("place_of_wounding"): lit_("nullif(haavpaikka, '')"),
+        NS.warsa("date_of_going_mia"): (
+            _MIA_CMP, "literal",
+            f"CASE WHEN ({_MIA_DATE}) IS NOT NULL THEN {xd} END",
+        ),
+        NS.cas("municipality_of_going_mia"): uri_(_MIA_MUN),
+        NS.warsa("place_of_going_mia_literal"): lit_("nullif(katopaikka, '')"),
         NS.warsa("date_of_death"): (
             f"coalesce(CAST(({_DEATH_DATE}) AS VARCHAR), {_DEATH_STR})", "literal",
             f"CASE WHEN ({_DEATH_DATE}) IS NOT NULL THEN {xd} END",
         ),
         NS.cas("municipality_of_death"): uri_(f"'{mun_pref}' || kuolinkunta"),
+        NS.warsa("place_of_death_literal"): lit_("nullif(kuolinpaikka, '')"),
         NS.cas("perishing_category"): uri_(_enum_expected_sql(synth.PERISHING_KEYS, "perishing", "pid")),
         NS.cas("municipality_of_burial"): uri_(f"'{mun_pref}' || hkunta"),
         NS.cas("place_of_burial_number"): lit_("nullif(hpaikka, '')"),
@@ -1026,6 +1064,116 @@ def oracle_generate_joinings() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: disappearance (G5) / wounding (G6) events + the J8 documents-links join
+# ---------------------------------------------------------------------------
+
+def _event_oracle(
+    prefix: str, event_type: str, lbl_fi: str, lbl_en: str,
+    date_expr: str, str_expr: str, mun_case: str, mun_guard: str,
+    place_expr: str, guard: str,
+) -> str:
+    """Shared G5/G6 oracle renderer mirroring _event_entries + place_string."""
+    fam = _expected_family_sql()
+    giv = _expected_given_sql()
+    name = f"({giv}) || ' ' || ({fam})"
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    ev = f"'{{ev}}p' || CAST(pid AS VARCHAR)".format(ev="http://ldf.fi/warsa/events/" + prefix)
+    ts = f"'http://ldf.fi/warsa/events/times/{prefix}p' || CAST(pid AS VARCHAR)"
+    date_lit = f"coalesce(CAST(({date_expr}) AS VARCHAR), {str_expr})"
+    preferred = f"CASE WHEN {mun_guard} THEN {mun_case} END"
+    rows = [
+        (ev, NS.RDF_TYPE, f"'{event_type}'", "NULL"),
+        (ev, NS.CRM + "P11_had_participant", person, "NULL"),
+        (ev, NS.DCT_SOURCE, f"'{NS.NARC_SOURCE}'", "NULL"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' {lbl_fi}'", "'fi'"),
+        (ev, NS.SKOS_PREF_LABEL, f"({name}) || ' {lbl_en}'", "'en'"),
+        (ev, NS.CRM + "P7_took_place_at", preferred, "NULL"),
+        (ev, NS.CRM + "P4_has_time-span", f"CASE WHEN ({date_lit}) IS NOT NULL THEN {ts} END", "NULL"),
+        (ts, NS.CRM + "P82a_begin_of_the_begin", date_lit, "NULL"),
+        (ts, NS.CRM + "P82b_end_of_the_end", date_lit, "NULL"),
+        (ts, NS.SKOS_PREF_LABEL, date_lit, "NULL"),
+        (ts, NS.RDF_TYPE, f"CASE WHEN ({date_lit}) IS NOT NULL THEN '{NS.CRM}E52_Time-Span' END", "NULL"),
+        (ev, NS.warsa("place_string"), place_expr, "NULL"),
+    ]
+    selects = [
+        f"SELECT {s} AS subj, '{p}' AS pred, {o} AS obj, {lang} AS lang FROM records WHERE {guard}"
+        for s, p, o, lang in rows
+    ]
+    return (
+        synth.oracle_prelude()
+        + "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ") WHERE obj IS NOT NULL"
+    )
+
+
+def _preferred_case(pid_expr: str) -> str:
+    return synth._case_over_mod(
+        pid_expr,
+        [
+            (NS.WARSA_MUNICIPALITIES_NS + "m_place_" + w) if w
+            else ((NS.PNR_NS + "P_" + p) if p else (NS.MUNICIPALITIES + "k" + code))
+            for code, _, p, w in dims.MUNICIPALITIES
+        ],
+    )
+
+
+def q_generate_disappearances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["disappearances"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_disappearances() -> str:
+    guard = (
+        f"(({_MIA_DATE}) IS NOT NULL OR ({_MIA_STR}) IS NOT NULL "
+        "OR nullif(katokunta, '') IS NOT NULL OR nullif(katopaikka, '') IS NOT NULL)"
+    )
+    return _event_oracle(
+        "disappear_cas_", NS.warsa("Disappearing"),
+        "katosi", "went missing in action",
+        _MIA_DATE, _MIA_STR,
+        _preferred_case("pid * 17"), "nullif(katokunta, '') IS NOT NULL",
+        "nullif(katopaikka, '')", guard,
+    )
+
+
+def q_generate_woundings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gen_base(spark, sf_dir)["woundings"].select("subj", "pred", "obj", "lang")
+
+
+def oracle_generate_woundings() -> str:
+    guard = (
+        f"(({_WOUND_DATE}) IS NOT NULL OR ({_WOUND_STR}) IS NOT NULL "
+        "OR nullif(haavkunta, '') IS NOT NULL OR nullif(haavpaikka, '') IS NOT NULL)"
+    )
+    return _event_oracle(
+        "wound_cas_", NS.warsa("Wounding"),
+        "haavoittui", "was wounded",
+        _WOUND_DATE, _WOUND_STR,
+        _preferred_case("pid * 13"), "nullif(haavkunta, '') IS NOT NULL",
+        "nullif(haavpaikka, '')", guard,
+    )
+
+
+def q_documents_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — the graph-level documents_links join (operators/triples.py:
+    unlinked DeathRecords x inverse P70i links; reference src/tasks.py:17-44):
+    the casualties graph provides the DeathRecord set, the generated persons
+    graph provides the inverse links."""
+    from .operators.triples import documents_links
+
+    rec = build_silver(spark, sf_dir)
+    cas = records_to_triples(rec, dims.dim_cemeteries(spark))
+    persons = _gen_base(spark, sf_dir)["persons"]
+    return documents_links(cas, persons).select("subj", "pred", "obj")
+
+
+def oracle_documents_links() -> str:
+    person = "'http://ldf.fi/warsa/actors/person_p' || CAST(pid AS VARCHAR)"
+    sel = f"""
+SELECT {_SUBJ_SQL} AS subj, '{NS.CRM}P70_documents' AS pred, {person} AS obj
+FROM records"""
+    return synth.oracle_prelude() + sel
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / text analysis / ANN over documents & embeddings
 # ---------------------------------------------------------------------------
 
@@ -1295,11 +1443,30 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_emb_near_dup() -> str:
-    return """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2"""
+    # same deterministic random-hyperplane buckets as the Spark side
+    # (similarity_search.lsh_bucket_key via dedup.embedding_near_dup_pairs)
+    from .operators.similarity_search import N_PLANES, N_TABLES, _hyperplane
+
+    def bucket_sql(table: int) -> str:
+        bits = []
+        for p in range(N_PLANES):
+            plane = _hyperplane(EMB_DIM, p, table)
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END")
+        return f"'t{table}:' || " + " || ".join(bits)
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, v, {bucket_sql(t)} AS bucket FROM corpus" for t in range(N_TABLES)
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS ({keyed}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(list_cosine_similarity(va, vb), 6) AS cosine
+FROM cand WHERE list_cosine_similarity(va, vb) >= 0.2"""
 
 
 # ---------------------------------------------------------------------------
@@ -1326,6 +1493,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_generate_deaths": (q_generate_deaths, oracle_generate_deaths),
     "kg_generate_promotions": (q_generate_promotions, oracle_generate_promotions),
     "kg_generate_joinings": (q_generate_joinings, oracle_generate_joinings),
+    "kg_generate_disappearances": (q_generate_disappearances, oracle_generate_disappearances),
+    "kg_generate_woundings": (q_generate_woundings, oracle_generate_woundings),
+    "kg_documents_links": (q_documents_links, oracle_documents_links),
     "dedup_exact": (q_dedup_exact, oracle_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),

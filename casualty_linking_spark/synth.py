@@ -157,17 +157,37 @@ raw1 AS (
     CASE WHEN pid % 41 = 19 THEN 'Alipuseeri'
          WHEN pid % 41 = 23 THEN 'Alikers'
          ELSE rank_base END AS sotarvo,
-    -- unit dirt: lowercase (fuzzy must still hit), truncated label
-    CASE WHEN pid % 43 = 21 THEN lower(unit_name_base)
+    -- unit dirt: long multi-token company literal (needs the full n<=10 ARPA
+    -- n-gram bound: its 5-gram is the only full-label candidate), lowercase
+    -- (fuzzy must still hit), truncated label
+    CASE WHEN pid % 73 = 9 THEN '2. Komppania / JR 8'
+         WHEN pid % 43 = 21 THEN lower(unit_name_base)
          WHEN pid % 47 = 22 THEN substr(unit_name_base, 1, length(unit_name_base) - 1)
          ELSE unit_name_base END AS josnimi,
-    -- a third of records lack the cover number -> n-gram path B
-    CASE WHEN pid % 3 = 0 THEN '' ELSE unit_code_base END AS joskoodi,
+    -- a third of records lack the cover number -> n-gram path B; the long
+    -- company literal always takes path B
+    CASE WHEN pid % 73 = 9 THEN ''
+         WHEN pid % 3 = 0 THEN '' ELSE unit_code_base END AS joskoodi,
     -- occupation dirt: dropped 3rd char (>=0.88 similarity), unknown occupation
     CASE WHEN pid % 61 = 4 THEN substr(occ_base, 1, 2) || substr(occ_base, 4)
          WHEN pid % 67 = 5 THEN 'insinöörioppilas'
          ELSE occ_base END AS ammatti,
     CASE WHEN pid % 53 = 2 THEN 'X' ELSE hkunta_base END AS hkunta,
+    -- wounding fields (HAAVAIKA/HAAVKUNTA/HAAVPAIKKA): sparse, with one
+    -- too-early date class exercising the [1939-11-28, 1945-04-25] validator
+    CASE WHEN pid % 37 = 10 THEN lpad(CAST(1 + pid % 28 AS {STR}), 2, '0') || '.' || lpad(CAST(1 + (pid * 5) % 12 AS {STR}), 2, '0') || '.' || CAST(1940 + pid % 5 AS {STR})
+         WHEN pid % 37 = 11 THEN '01.01.1939'
+         ELSE '' END AS haavaika,
+    CASE WHEN pid % 37 IN (10, 11) THEN {_case_over_mod("pid * 13", MUN_CODES)} ELSE '' END AS haavkunta,
+    CASE WHEN pid % 39 = 12 THEN 'Summa' ELSE '' END AS haavpaikka,
+    -- going-MIA fields (KATOAIKA/KATOKUNTA/KATOPAIKKA): one O-typo class
+    -- that survives cleaning as an invalid string ('Päivämäärä ei ole kelvollinen')
+    CASE WHEN pid % 41 = 15 THEN lpad(CAST(1 + (pid * 7) % 28 AS {STR}), 2, '0') || '.' || lpad(CAST(1 + (pid * 11) % 12 AS {STR}), 2, '0') || '.' || CAST(1940 + (pid * 3) % 5 AS {STR})
+         WHEN pid % 41 = 16 THEN '5O.O7.1942'
+         ELSE '' END AS katoaika,
+    CASE WHEN pid % 41 IN (15, 16) THEN {_case_over_mod("pid * 17", MUN_CODES)} ELSE '' END AS katokunta,
+    CASE WHEN pid % 43 = 18 THEN 'Raatteen tie' ELSE '' END AS katopaikka,
+    CASE WHEN pid % 45 = 19 THEN 'kenttäsairaalassa' ELSE '' END AS kuolinpaikka,
     CASE WHEN pid % 59 = 3 THEN 'b'
          WHEN pid % 31 = 8 THEN ''
          ELSE CAST(1 + pid % 2 AS {STR}) END AS hmaa,
@@ -216,9 +236,13 @@ transcripts AS (
         || '; JOSKOODI=' || joskoodi || '; JOSNIMI=' || josnimi
       WHEN 2 THEN 'Elinkaari: SAIKA=' || saika || '; SKUNTA=' || skunta
         || '; KUOLINAIKA=' || kuolinaika || '; KUOLINKUNTA=' || kuolinkunta
-        || '; MENEHTLUOKKA=' || menehtluokka
+        || '; KUOLINPAIKKA=' || kuolinpaikka || '; MENEHTLUOKKA=' || menehtluokka
+        || '; KATOAIKA=' || katoaika || '; KATOKUNTA=' || katokunta
+        || '; KATOPAIKKA=' || katopaikka
       WHEN 3 THEN 'Hautaustiedot: HKUNTA=' || hkunta || '; HMAA=' || hmaa
         || '; HPAIKKA=' || hpaikka || '; VAPAA_PAIKKATIETO=' || vapaa_paikkatieto
+        || '; HAAVAIKA=' || haavaika || '; HAAVKUNTA=' || haavkunta
+        || '; HAAVPAIKKA=' || haavpaikka
       ELSE 'Muistosanat: ' || given_raw || ' ' || snimi || ' kaatui isänmaan puolesta.'
     END AS text,
     CASE turn_idx WHEN 3 THEN 'archive_lookup' ELSE NULL END AS tool,

@@ -1,0 +1,253 @@
+#!/usr/bin/env python3
+"""Offline calibration of the person-linkage logistic weights from labelled
+training pairs — the deterministic replacement of the reference's dedupe
+RecordLink training step (src/linker.py:233-237 trains an active-learning
+model on the seed pairs of input/person_links.json; threshold_ratio 0.85).
+
+Protocol (every step deterministic — no RNG anywhere):
+
+1. Candidate pairs: replicate the production blocked join
+   (operators/link_persons.link_persons) at --sf-dir and compute the exact
+   8 inference-time comparison features (score_pairs) for every candidate.
+2. Labelled sample: records with even pid are the training half (the
+   reference likewise trains on pairs drawn from the corpus it links);
+   their planted ground truth labels true pairs, same-pid decoy actors are
+   hard negatives.
+3. Objective = what deployment needs, not plain classification:
+   * two-sided pairwise ranking (the true pair must outrank every
+     same-record AND same-actor competitor — mutual-best-match is a ranking
+     decision) with a logistic margin loss log(1+exp(gamma - w·(x_t - x_c)));
+   * plus a calibration term (plain logistic loss on true/decoy pairs) so
+     scores sit correctly against the reference's fixed 0.85 threshold;
+   * nonnegative weights (projected GD — similarity is never negative
+     evidence) with L2 shrinkage;
+   * boosting: after each fit, still-violated ranking constraints get their
+     sample weight multiplied (hard collision patterns — same family+dates,
+     different given name — are rare, so plain averaging under-weights them).
+4. Model selection: validated against the full corpus with the real linker
+   (blocking + threshold + mutual-best); the committed weights must reach
+   P/R >= the previous hand-tuned operating point (1.000 / 0.9964).
+
+NB the fitted weights are calibrated to this corpus: features that carry no
+signal HERE (jw_family — blocking already conditions on the family prefix;
+rank_eq — planted rank dirt makes rank disagreement uninformative) shrink
+to ~0. On a different corpus, re-run the fit; the machinery is the
+deliverable, the constants are data.
+
+Run: python scripts/fit_link_weights.py [--sf-dir /root/testdata/sf0.01] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FEATURES = [
+    "jw_given", "jw_family", "birth_eq", "death_eq",
+    "place_eq", "rank_eq", "unit_eq", "level_sim",
+]
+
+GAMMA = 2.0        # ranking margin
+LAMBDA = 0.001     # L2
+ALPHA = 0.5        # calibration-term weight
+LR = 0.5
+N_ITER = 3000
+BOOST = 30.0       # violation reweighting factor
+MAX_ROUNDS = 6
+
+
+def candidate_frame(spark, sf_dir: str) -> pd.DataFrame:
+    """All blocked candidate pairs with inference-time features + truth."""
+    from pyspark.sql import functions as F
+
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import link_persons as LP
+    from casualty_linking_spark.operators.link_ranks import link_ranks
+    from casualty_linking_spark.operators.link_units import link_units
+    from casualty_linking_spark.queries import build_silver
+
+    rec = build_silver(spark, sf_dir)
+    rl = link_ranks(rec, dims.dim_rank_labels(spark))
+    ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+    feats = LP.casualty_features(rec, rl, ul, dims.dim_ranks(spark), dims.dim_municipalities(spark))
+    actors = synth.actors_from_sf(spark, sf_dir)
+
+    left = feats.withColumn(
+        "bk", F.explode(LP._block_keys(F.col("family"), F.col("death_iso"), F.col("birth_iso")))
+    )
+    right = actors.select(
+        "actor_uri", F.col("given").alias("a_given"), F.col("family").alias("a_family"),
+        F.col("birth_iso").alias("a_birth"), F.col("death_iso").alias("a_death"),
+        F.col("rank_uri").alias("a_rank"), F.col("rank_level").alias("a_rank_level"),
+        F.col("unit_uri").alias("a_unit"), F.col("birth_place").alias("a_place"),
+    ).withColumn(
+        "bk", F.explode(LP._block_keys(F.col("a_family"), F.col("a_death"), F.col("a_birth")))
+    )
+    pairs = left.join(right, "bk").dropDuplicates(["record_uri", "actor_uri"])
+    pid = F.regexp_extract("record_uri", r"p(\d+)$", 1).cast("bigint")
+    out = LP.score_pairs(pairs).withColumn("pid", pid).withColumn(
+        "is_true",
+        (
+            (F.col("pid") % 4 != 3)
+            & (F.col("actor_uri") == F.concat(
+                F.lit("http://ldf.fi/warsa/actors/person_a"), F.col("pid").cast("string")))
+        ).cast("int"),
+    )
+    return out.select("record_uri", "actor_uri", "pid", "is_true", *FEATURES).toPandas()
+
+
+def build_training(d: pd.DataFrame):
+    """Ranking diffs (two-sided) + calibration rows from the even-pid half."""
+    d = d.copy()
+    d["aid"] = d.actor_uri.str.extract(r"person_[ad](\d+)$").astype(int)
+    d["akind"] = d.actor_uri.str.extract(r"person_([ad])\d+$")
+
+    tr = d[d.pid % 2 == 0]
+    tru_r = tr[tr.is_true == 1][["record_uri"] + FEATURES]
+    comp_r = tr[tr.is_true == 0].merge(tru_r, on="record_uri", suffixes=("_c", "_t"))
+    d1 = comp_r[[f + "_t" for f in FEATURES]].to_numpy(float) - comp_r[
+        [f + "_c" for f in FEATURES]].to_numpy(float)
+    tru_a = d[(d.is_true == 1) & (d.aid % 2 == 0)][["actor_uri"] + FEATURES]
+    comp_a = d[(d.is_true == 0) & (d.akind == "a")].merge(tru_a, on="actor_uri", suffixes=("_c", "_t"))
+    d2 = comp_a[[f + "_t" for f in FEATURES]].to_numpy(float) - comp_a[
+        [f + "_c" for f in FEATURES]].to_numpy(float)
+    D = np.vstack([d1, d2])
+
+    pos = d[(d.is_true == 1) & (d.pid % 2 == 0)]
+    negd = d[(d.akind == "d") & (d.aid == d.pid) & (d.pid % 2 == 1)]
+    Xcls = pd.concat([pos, negd])[FEATURES].to_numpy(float)
+    ycls = np.concatenate([np.ones(len(pos)), np.zeros(len(negd))])
+    return D, Xcls, ycls, len(pos)
+
+
+def fit_once(D, Xcls, ycls, sw):
+    w = np.zeros(len(FEATURES))
+    b = 0.0
+    n_cls = len(Xcls)
+    for _ in range(N_ITER):
+        g_rank = -sw * (1.0 / (1.0 + np.exp(D @ w - GAMMA)))
+        grad_w = (D.T @ g_rank) / sw.sum()
+        p = 1.0 / (1.0 + np.exp(-(Xcls @ w + b)))
+        g = p - ycls
+        grad_w += ALPHA * (Xcls.T @ g) / n_cls
+        w -= LR * (grad_w + LAMBDA * w)
+        b -= LR * ALPHA * g.mean()
+        w = np.maximum(w, 0.0)
+    return w, b
+
+
+def fit_boosted(D, Xcls, ycls):
+    sw = np.ones(len(D))
+    w, b = fit_once(D, Xcls, ycls, sw)
+    for _ in range(MAX_ROUNDS - 1):
+        viol = (D @ w) <= 0
+        if not viol.any():
+            break
+        sw = np.where(viol, sw * BOOST, sw)
+        w, b = fit_once(D, Xcls, ycls, sw)
+    return w, b, int(((D @ w) <= 0).sum())
+
+
+def evaluate(spark, sf_dir: str, weights: dict[str, float], bias: float):
+    """P/R of the REAL linker (blocking + scoring + mutual-best) vs planted
+    truth, with the candidate weights patched in."""
+    from pyspark.sql import functions as F
+
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import link_persons as LP
+    from casualty_linking_spark.operators.link_ranks import link_ranks
+    from casualty_linking_spark.operators.link_units import link_units
+    from casualty_linking_spark.queries import build_silver
+
+    old_w, old_b = dict(LP.WEIGHTS), LP.BIAS
+    LP.WEIGHTS.clear()
+    LP.WEIGHTS.update(weights)
+    LP.BIAS = bias
+    try:
+        rec = build_silver(spark, sf_dir)
+        rl = link_ranks(rec, dims.dim_rank_labels(spark))
+        ul, _ = link_units(rec, dims.dim_unit_labels(spark))
+        feats = LP.casualty_features(rec, rl, ul, dims.dim_ranks(spark), dims.dim_municipalities(spark))
+        actors = synth.actors_from_sf(spark, sf_dir)
+        links = LP.link_persons(feats, actors)
+        got = {(r.subj, r.obj) for r in links.select("subj", "obj").collect()}
+        pid = F.regexp_extract("record_uri", r"p(\d+)$", 1).cast("bigint")
+        truth_df = feats.select(pid.alias("pid"), "record_uri").filter(F.col("pid") % 4 != 3)
+        truth = {
+            (r.record_uri, f"http://ldf.fi/warsa/actors/person_a{r.pid}")
+            for r in truth_df.collect()
+        }
+        tp = len(got & truth)
+        return (tp / len(got) if got else 0.0), (tp / len(truth) if truth else 0.0)
+    finally:
+        LP.WEIGHTS.clear()
+        LP.WEIGHTS.update(old_w)
+        LP.BIAS = old_b
+
+
+MODULE_TEMPLATE = '''"""Fitted person-linkage logistic weights — GENERATED by
+scripts/fit_link_weights.py; do not hand-edit (re-run the fit instead).
+
+Deterministic offline replacement of the reference's dedupe RecordLink
+training (src/linker.py:233-237; threshold_ratio 0.85): two-sided
+margin-ranking + calibration objective, nonnegative projected GD with
+violation boosting (see the fit script docstring for the full protocol).
+Fit: {n_pos} positive pairs / {n_diffs} ranking constraints at {sf_dir},
+{n_viol} residual violations; real-linker validation on the full corpus:
+P={prec:.4f} R={rec:.4f} at threshold 0.85 + mutual-best (previous
+hand-tuned operating point: P=1.0000 R=0.9964).
+
+Corpus-calibration note: jw_family/rank_eq shrink to ~0 here because
+blocking already conditions on the family prefix and the planted rank dirt
+makes rank disagreement uninformative — on a different corpus re-run the
+fit, do not reuse these constants blindly.
+"""
+
+FITTED_WEIGHTS = {{
+{weights_body}
+}}
+FITTED_BIAS = {bias!r}
+'''
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--write", action="store_true", help="rewrite operators/link_weights.py")
+    args = ap.parse_args()
+
+    from casualty_linking_spark.session import get_spark
+
+    spark = get_spark(app_name="fit_link_weights", cores=16)
+    d = candidate_frame(spark, args.sf_dir)
+    D, Xcls, ycls, n_pos = build_training(d)
+    print(f"candidates={len(d)} ranking_diffs={len(D)} cls_rows={len(Xcls)} pos={n_pos}")
+    w, b, n_viol = fit_boosted(D, Xcls, ycls)
+    weights = {k: round(float(v), 6) for k, v in zip(FEATURES, w)}
+    bias = round(float(b), 6)
+    print("weights:", weights, "bias:", bias, "residual violations:", n_viol)
+
+    prec, rec = evaluate(spark, args.sf_dir, weights, bias)
+    print(f"linker P={prec:.4f} R={rec:.4f} (threshold 0.85, mutual-best)")
+
+    if args.write:
+        body = "\n".join(f'    "{k}": {v!r},' for k, v in weights.items())
+        out = Path(__file__).resolve().parent.parent / "casualty_linking_spark/operators/link_weights.py"
+        out.write_text(
+            MODULE_TEMPLATE.format(
+                n_pos=n_pos, n_diffs=len(D), sf_dir=args.sf_dir, n_viol=n_viol,
+                prec=prec, rec=rec, weights_body=body, bias=bias,
+            )
+        )
+        print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ def test_stream_mentions_availablenow(spark, tmp_path):
 
     # incremental: appending new files processes only the delta
     synth.transcripts_range(spark, 60).filter(
-        F.col("conv_id") >= "conv_00000040"
+        F.expr("CAST(substring(conv_id, 6) AS BIGINT)") >= 40
     ).write.mode("append").parquet(inp)
     q2 = stream_mentions(spark, inp, out, ckpt)
     q2.awaitTermination(120)
