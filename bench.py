@@ -140,7 +140,8 @@ def run_scaling(n_records: int = SCALE_RECORDS, n_lo: int = 8, n_hi: int = 32, t
         for cores in (n_lo, n_hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--scale-one", str(cores), str(n_records)],
-                capture_output=True, text=True, timeout=3000,
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "7200")),
             )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)

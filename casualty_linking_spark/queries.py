@@ -41,13 +41,18 @@ def build_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     the many per-query invocations share one materialization."""
     key = (id(spark), sf_dir)
     if key not in _SILVER_CACHE:
-        t = synth.transcripts_from_sf(spark, sf_dir)
+        # First lineage cut at the transcripts boundary: without it
+        # CollapseProject inlines the giant synthetic CASE `text` expression
+        # into each of the 30 regexp_extract mention columns — a ~30x
+        # expression-tree blowup the optimizer then walks (measured over half
+        # the silver build wall at sf0.1). A real deployment reads transcripts
+        # from a table, which is the same cut for free.
+        t = synth.transcripts_from_sf(spark, sf_dir).localCheckpoint(eager=True)
         rec = REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t)))
-        # localCheckpoint cuts the logical lineage: the synthetic-input CASE
-        # trees are large, and without the cut Catalyst re-optimizes them
-        # (with CollapseProject expression blowup) for EVERY derived query —
-        # measured ~60s/plan at sf0.01. In the production pipeline the same
-        # cut is the T2 table materialization (plans/pipeline.py).
+        # Second cut after the silver build: the converter trees are large,
+        # and without the cut Catalyst re-optimizes them for EVERY derived
+        # query — measured ~60s/plan at sf0.01. In the production pipeline
+        # the same cut is the T2 table materialization (plans/pipeline.py).
         _SILVER_CACHE[key] = rec.localCheckpoint(eager=True)
     return _SILVER_CACHE[key]
 
