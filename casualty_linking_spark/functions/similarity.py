@@ -214,3 +214,40 @@ def duckdb_ascii_fold(expr: str) -> str:
     for s, d in zip(_FOLD_SRC, _FOLD_DST):
         out = f"replace({out}, '{s}', '{d}')"
     return out
+
+
+# Phonetic blocking key (J7): consonant-skeleton code. Deliberately NOT
+# Soundex — engines disagree on Soundex's H/W edge rules, and DuckDB's RE2
+# regex lacks the backreferences a run-collapse would need — so the key is
+# built only from translate + a bounded nested-replace collapse, both of
+# which render bit-identically in Spark and DuckDB. It mirrors the
+# tolerance of the reference's Lucene '~1' edit-distance name fuzzing
+# (SPARQL/arpa_menehtyneet_persons.sparql:20-23): a vowel typo anywhere —
+# including the first three characters, where the fam3 prefix block fails —
+# leaves the key unchanged.
+_PHON_FROM = "bfpvwcgjkqsxzdtlmnr" + "aeiouyh '-"
+_PHON_TO = "1111122222222334556"  # consonant classes; trailing FROM chars deleted
+
+
+def phonetic_key(col: Column) -> Column:
+    """'P' + first folded letter + the next 3 consonant-class codes.
+
+    The 'P' prefix keeps phonetic keys disjoint from the lowercase fam3
+    prefix keys they share an exploded block-key column with."""
+    folded = ascii_fold(F.lower(col))
+    codes = F.translate(folded, _PHON_FROM, _PHON_TO)
+    for d in "123456":
+        for _ in range(3):  # collapses runs up to 8 — far beyond any name
+            codes = F.replace(codes, F.lit(d + d), F.lit(d))
+    return F.concat(F.lit("P"), F.substring(folded, 1, 1), F.substring(codes, 2, 3))
+
+
+def duckdb_phonetic_key(expr: str) -> str:
+    """Same key as :func:`phonetic_key`, rendered as DuckDB SQL."""
+    folded = duckdb_ascii_fold(f"lower({expr})")
+    frm = _PHON_FROM.replace("'", "''")
+    codes = f"translate({folded}, '{frm}', '{_PHON_TO}')"
+    for d in "123456":
+        for _ in range(3):
+            codes = f"replace({codes}, '{d}{d}', '{d}')"
+    return f"('P' || substr({folded}, 1, 1) || substr({codes}, 2, 3))"

@@ -28,7 +28,7 @@ Hashes are md5-based so the DuckDB oracle can reproduce them bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 N_HASHES = 12
 BAND_SIZE = 3  # 4 bands of 3 -> s-curve threshold ~ (1/4)^(1/3) ≈ 0.63
@@ -50,13 +50,29 @@ def shingles_col(text: Column, n: int = SHINGLE_WORDS) -> Column:
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
-    """(doc_id, text_hash, canonical_id, group_size)."""
-    h = F.md5(F.col("text"))
-    w = Window.partitionBy("text_hash")
-    return (
-        documents.select(F.col("doc_id"), h.alias("text_hash"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("group_size", F.count("*").over(w))
+    """(doc_id, text_hash, canonical_id, group_size).
+
+    Skew-safe shape: groupBy(text_hash).agg(min, count) + join-back instead
+    of a window over the hash key. LLM corpora have degenerate mega-clusters
+    (empty strings, boilerplate pages duplicated billions of times); a window
+    cannot partial-aggregate — every copy of the hot key lands in one task —
+    whereas the agg's map-side combine collapses each mapper's contribution
+    to one row per key, and the join-back is a join AQE's skew handling can
+    split (the one-row-per-key build side replicates across the split).
+
+    Single corpus scan: the (doc_id, hash) projection is materialized once
+    (localCheckpoint — a production pipeline would write the fingerprint
+    table) so the agg branch and the join-probe branch don't each re-scan
+    the documents; ReuseExchange can't collapse them because the agg side
+    partial-aggregates before its exchange."""
+    hashed = documents.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("text_hash")
+    ).localCheckpoint(eager=True)
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "text_hash").select(
+        "doc_id", "text_hash", "canonical_id", "group_size"
     )
 
 
@@ -192,12 +208,15 @@ def simhash64_fingerprints(documents: DataFrame) -> DataFrame:
 
 def simhash_buckets(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash, canonical_id) — equal-64-bit-fingerprint dup groups.
-    2^64 keys: group sizes are true duplicate-cluster sizes, not hash
-    collisions, so the window is skew-safe at corpus scale."""
-    w = Window.partitionBy("simhash")
-    return simhash64_fingerprints(documents).withColumn(
-        "canonical_id", F.min("doc_id").over(w)
-    )
+    2^64 keys, but true duplicate clusters can still be huge (boilerplate
+    replicated corpus-wide), so same skew-safe shape as exact_duplicates:
+    map-side-combining groupBy for the canonical id, then a join-back that
+    AQE skew handling can split — never a window over the fingerprint.
+    The 65-agg fingerprint build runs once (localCheckpoint) rather than
+    once per join branch."""
+    fp = simhash64_fingerprints(documents).localCheckpoint(eager=True)
+    canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "simhash").select("doc_id", "simhash", "canonical_id")
 
 
 def _nibble(fp: Column, i: Column) -> Column:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import namespaces as NS
 from ..functions.names import strip_prev_name
-from ..functions.similarity import ascii_fold, jaro_winkler
+from ..functions.similarity import ascii_fold, jaro_winkler, phonetic_key
 
 THRESHOLD = 0.85
 
@@ -90,14 +90,25 @@ def casualty_features(records: DataFrame, rank_links: DataFrame, unit_links: Dat
 
 
 def _block_keys(family: F.Column, death_iso: F.Column, birth_iso: F.Column) -> F.Column:
-    """Two blocking keys per row: (folded family prefix, death year) and
-    (…, birth year). The union of passes keeps recall when one date is dirty
-    (a record whose death date failed conversion still blocks on its birth
-    year); '?' placeholders never match the fully-dated actor side."""
+    """Four blocking keys per row: (folded family 3-prefix × death|birth
+    year) plus (phonetic consonant-skeleton key × death|birth year). The
+    year union keeps recall when one date is dirty (a record whose death
+    date failed conversion still blocks on its birth year); the phonetic
+    pass keeps recall when the family name itself is misspelled inside the
+    first three characters — the reference reaches those via Lucene '~1'
+    edit-distance fuzzing (SPARQL/arpa_menehtyneet_persons.sparql:20-23),
+    which a prefix block alone cannot mirror. '?' placeholders never match
+    the fully-dated actor side; the 'P' prefix keeps the two key families
+    disjoint."""
     fam3 = F.substring(ascii_fold(F.lower(family)), 1, 3)
+    phon = phonetic_key(family)
+    dy = F.concat(F.lit("D"), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?")))
+    by = F.concat(F.lit("B"), F.coalesce(F.substring(birth_iso, 1, 4), F.lit("?")))
     return F.array(
-        F.concat_ws("|", fam3, F.concat(F.lit("D"), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?")))),
-        F.concat_ws("|", fam3, F.concat(F.lit("B"), F.coalesce(F.substring(birth_iso, 1, 4), F.lit("?")))),
+        F.concat_ws("|", fam3, dy),
+        F.concat_ws("|", fam3, by),
+        F.concat_ws("|", phon, dy),
+        F.concat_ws("|", phon, by),
     )
 
 
@@ -226,19 +237,66 @@ def link_persons(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Canonicalize sameAs/link closures: iterative min-id label propagation
-    (the GraphFrames-free CC of SURVEY §4.3). edges(src, dst) undirected.
-    Returns (vertex, component) with component = min vertex id (lexicographic)
-    of the connected component.
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every neighbor of u strictly larger than u is
+    connected to m = min(Γ(u) ∪ {u}). Input is the bidirectional (u, v)
+    pair set; output is an undirected edge set as (a, b) rows."""
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
 
-    Convergence is O(graph diameter) iterations — record-linkage closures are
-    shallow (mutual-best-match bounds degree), so the default comfortably
-    covers them, and non-convergence at max_iter raises rather than silently
-    returning split components (a path graph of > max_iter hops would
-    otherwise mislabel). Each iteration is one shuffle + localCheckpoint to
-    cut the lineage (a 10^12-scale job would checkpoint to the cluster store;
-    large-star/small-star hashing would give O(log n) if diameters grow)."""
+
+def _small_star(edges_ab: DataFrame) -> DataFrame:
+    """One small-star round: keying each undirected edge by its larger
+    endpoint u, every smaller neighbor (and u itself) is connected to
+    m = min of u's smaller neighborhood; self-loops dropped."""
+    d = edges_ab.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = (
+        d.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    nbrs = d.join(mins, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+    selfs = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return nbrs.unionByName(selfs).filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, algorithm: str = "star"
+) -> DataFrame:
+    """Canonicalize sameAs/link closures (the GraphFrames-free CC of SURVEY
+    §4.3). edges(src, dst) undirected. Returns (vertex, component) with
+    component = min vertex id (lexicographic) of the connected component.
+
+    algorithm='star' (default): alternating large-star/small-star rounds
+    (Kiveris et al. 2014) — O(log n) rounds on ANY graph shape, so a
+    10^12-scale closure with long chains converges without a
+    diameter-bounded loop. Each round is two keyed aggregations + joins,
+    all map-side combinable; convergence = the undirected edge set reached
+    a fixed point (star graphs rooted at component minima).
+
+    algorithm='label': the original iterative min-label propagation —
+    O(graph diameter) iterations; kept as the property-test cross-check
+    and for shallow mutual-best-match closures where diameter ≈ 2.
+
+    Both raise on non-convergence at max_iter rather than silently
+    returning split components. Each iteration localCheckpoints to cut the
+    lineage (a cluster job would checkpoint to the cluster store)."""
+    if algorithm == "star":
+        return _connected_components_star(edges, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     # cut lineage first: without it every iteration's join re-executes the
     # whole upstream linkage chain that produced the edges
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
@@ -285,3 +343,48 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             f"max_iter; raise max_iter or switch to large-star/small-star"
         )
     return comp
+
+
+def _connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star fixed point. At convergence the
+    edge set is a union of stars (child, root) with root = the component's
+    minimum vertex; the vertex table is recovered as children ∪ roots ∪
+    isolated input vertices (a degenerate input edge (v, v) yields a
+    single-vertex component)."""
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    verts = (
+        e0.select(F.col("src").alias("vertex"))
+        .unionByName(e0.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # fixed point: same undirected edge set (both sides are canonical
+        # (child > root) pairs after small-star, so set equality is exact)
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).count() == 0:
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not reach a fixed point in "
+            f"{max_iter} rounds — this is O(log n) rounds by construction; "
+            f"raise max_iter"
+        )
+    comp = cur.select(F.col("a").alias("vertex"), F.col("b").alias("component"))
+    roots = verts.join(comp, "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    return comp.unionByName(roots)

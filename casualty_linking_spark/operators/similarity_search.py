@@ -78,13 +78,18 @@ def lsh_bucket_key(v: Column, dim: int, table: int, n_planes: int = N_PLANES) ->
     return F.concat(F.lit(f"t{table}:"), *bits)
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
     """Bucketed ANN: candidates share an LSH bucket in any table; exact
-    cosine re-rank inside the candidate set."""
+    cosine re-rank inside the candidate set. ``n_tables`` is the
+    recall/cost knob — measured recall@10 vs the brute-force ground truth
+    lives in BENCH/ANN_RECALL.md."""
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     c_parts, q_parts = [], []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         c_parts.append(corpus.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t).alias("bucket")))
         q_parts.append(q.select("query_id", "qv", lsh_bucket_key(F.col("qv"), dim, t).alias("bucket")))
     c_all = c_parts[0]

@@ -26,37 +26,52 @@ from ..operators.persons_generate import generate_persons
 from ..operators.triples import records_to_triples, union_graphs
 from . import storage
 
-CODE_VERSION = "r2"
+CODE_VERSION = "r3"
 
 
 class Pipeline:
     """End-to-end KG construction over a transcripts DataFrame source."""
 
-    def __init__(self, spark: SparkSession, root: str, transcripts: DataFrame, actors: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        transcripts: DataFrame,
+        actors: DataFrame | None = None,
+        additions: DataFrame | None = None,
+    ):
+        """``additions``: optional curated triples (subj, pred, obj,
+        obj_type, lang, datatype[, graph_kind]) merged into t5 with set
+        semantics — the analogue of the reference's cas_additions.ttl merge
+        (process.sh:17); typically ``sources.ttl.read_turtle_blocks`` over a
+        hand-maintained Turtle file."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.transcripts = transcripts
         self.actors = actors
+        self.additions = additions
         self.dims = dims.broadcast_dims(spark)
         self._fps: dict[str, str] = {}
 
     # -- stage machinery ----------------------------------------------------
 
-    def _input_identity(self) -> str:
-        """Identity of the source transcripts, folded into t0's fingerprint so
-        re-running against the same root with *different* input re-runs the
-        whole DAG (resume must never silently read back a stale t0). File-backed
-        sources: md5 of the sorted input-file list — metadata only, no scan
-        (parquet files are immutable-by-convention). In-memory/SQL-synthesized
-        sources (no input files): one aggregate pass — row count + order-
-        independent bit_xor of xxhash64 over all columns (xor, not sum:
-        summing 2^63-range hashes overflows under ANSI arithmetic)."""
-        files = self.transcripts.inputFiles()
+    def _input_identity(self, df: DataFrame | None = None) -> str:
+        """Identity of an input DataFrame (default: the source transcripts),
+        folded into the consuming stage's fingerprint so re-running against
+        the same root with *different* input re-runs the DAG (resume must
+        never silently read back a stale stage). File-backed sources: md5 of
+        the sorted input-file list — metadata only, no scan (parquet files
+        are immutable-by-convention). In-memory/SQL-synthesized sources (no
+        input files): one aggregate pass — row count + order-independent
+        bit_xor of xxhash64 over all columns (xor, not sum: summing
+        2^63-range hashes overflows under ANSI arithmetic)."""
+        df = self.transcripts if df is None else df
+        files = df.inputFiles()
         if files:
             basis = "files:" + "|".join(sorted(files))
         else:
-            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in self.transcripts.columns]
-            row = self.transcripts.select(
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+            row = df.select(
                 F.count(F.lit(1)).alias("n"),
                 F.bit_xor(F.xxhash64(*cols)).alias("h"),
             ).first()
@@ -162,10 +177,26 @@ class Pipeline:
             )
             graphs.extend(gen.values())
 
+        extra_inputs: list[str] = []
+        if self.additions is not None:
+            # curated additions merge (reference process.sh:17) — set
+            # semantics via union_graphs' dedup; the additions' own identity
+            # joins the fingerprint so editing the curated file re-runs t5
+            add = self.additions
+            if "graph_kind" not in add.columns:
+                add = add.withColumn("graph_kind", F.lit("casualties"))
+            graphs.append(
+                add.select(
+                    "subj", "pred", "obj", "obj_type", "lang", "datatype", "graph_kind"
+                )
+            )
+            extra_inputs.append("additions:" + self._input_identity(self.additions))
+
         triples = self._stage(
             "t5_triples",
             ["t2_records", "t3_rank_links", "t3_occupation_links", "t3_unit_links"]
-            + (["t4_person_links"] if person_links is not None else []),
+            + (["t4_person_links"] if person_links is not None else [])
+            + extra_inputs,
             lambda: union_graphs(*graphs),
             partition_by=["graph_kind"],
             metrics_keys=["graph_kind", "pred"],

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import dims, namespaces as NS, synth
 from .functions.dates import duckdb_convert_date_exprs
 from .functions.names import unify_family_py, unify_given_py
-from .functions.similarity import duckdb_ascii_fold, duckdb_levenshtein_ratio
+from .functions.similarity import (
+    duckdb_ascii_fold,
+    duckdb_levenshtein_ratio,
+    duckdb_phonetic_key,
+)
 from .operators import extract, records as REC
 from .operators.link_municipalities import link_municipalities
 from .operators.link_occupations import link_occupations
@@ -67,12 +71,15 @@ def _expected_family_sql() -> str:
     ANSI-SQL-expressible)."""
     n = len(synth.FAMILIES)
     base = synth.FAMILIES
+    typo = [f[0] + ("A" if f[1] == "U" else "U") + f[2:] for f in base]
+    dirt_typo = _case20([unify_family_py(f) for f in typo])
     dirt0 = _case20([unify_family_py(f.replace("O", "0")) for f in base])
     dirt1 = _case20([unify_family_py(f"{base[i]} ENT. {base[(i + 3) % n]}") for i in range(n)])
     dirt2 = _case20([unify_family_py(f"{base[i]}%{base[(i + 3) % n]}") for i in range(n)])
     clean = _case20([unify_family_py(f) for f in base])
     return (
-        f"CASE WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
+        f"CASE WHEN pid % 31 = 7 THEN {dirt_typo} "
+        f"WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
         f"WHEN pid % 29 = 13 THEN {dirt2} ELSE {clean} END"
     )
 
@@ -129,6 +136,25 @@ SILVER_COLS = [
 
 def q_records_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_silver(spark, sf_dir).select(*SILVER_COLS)
+
+
+def q_streaming_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming ingest under the batch oracle: transcripts land as
+    parquet files, a Structured Streaming availableNow run (file-source
+    offsets + checkpoint, exactly-once) extracts mentions incrementally,
+    and the streamed T1 output is collapsed to silver records. The oracle
+    is the batch SQL — identical rows proves incremental == batch."""
+    import tempfile
+
+    from .streaming.ingest import stream_mentions
+
+    tmp = tempfile.mkdtemp(prefix="kg_streaming_silver_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/mentions", f"{tmp}/ckpt"
+    synth.transcripts_from_sf(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    stream_mentions(spark, inp, outp, ckpt, available_now=True).awaitTermination()
+    mentions = spark.read.parquet(outp)
+    rec = REC.build_records(extract.mentions_to_raw_records(mentions))
+    return rec.select(*SILVER_COLS)
 
 
 def oracle_records_silver() -> str:
@@ -632,9 +658,12 @@ def _expected_linkage_family_sql() -> str:
         [_strip_ent_py(unify_family_py(f"{base[i]} ENT. {base[(i + 3) % n]}")) for i in range(n)]
     )
     dirt2 = _case20([_strip_ent_py(unify_family_py(f"{base[i]}%{base[(i + 3) % n]}")) for i in range(n)])
+    typo = [f[0] + ("A" if f[1] == "U" else "U") + f[2:] for f in base]
+    dirt_typo = _case20([_strip_ent_py(unify_family_py(f)) for f in typo])
     clean = _case20([_strip_ent_py(unify_family_py(f)) for f in base])
     return (
-        f"CASE WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
+        f"CASE WHEN pid % 31 = 7 THEN {dirt_typo} "
+        f"WHEN pid % 11 = 2 THEN {dirt0} WHEN pid % 7 = 1 THEN {dirt1} "
         f"WHEN pid % 29 = 13 THEN {dirt2} ELSE {clean} END"
     )
 
@@ -738,23 +767,37 @@ def _fold_sql(e: str) -> str:
 
 
 def _person_link_ctes() -> list[str]:
-    # dual blocking keys (fam prefix x death-year | birth-year): a shared
-    # exploded key 'xxx|Dyyyy'/'xxx|Byyyy' exists iff family prefixes match
-    # AND (death years match OR birth years match); '?' never matches the
-    # fully-dated actor side.
-    fam_eq = (
+    # quad blocking keys ((fam prefix | phonetic key) x death-year |
+    # birth-year): a shared exploded key exists iff (family prefixes match
+    # OR phonetic keys match) AND (death years match OR birth years match);
+    # '?' never matches the fully-dated actor side. The phonetic OR-branch
+    # mirrors link_persons._block_keys' third/fourth exploded keys.
+    # rendered as a UNION of two equi-joins (not one OR-join: an OR between
+    # equalities denies DuckDB a hash key and degrades to a nested loop —
+    # measured 60s+ at sf0.001) — exactly the exploded-key union the Spark
+    # side executes anyway
+    fam3_eq = (
         f"substr({_fold_sql('lower(f.family)')}, 1, 3) = substr({_fold_sql('lower(a.family)')}, 1, 3)"
     )
+    phon_eq = f"{duckdb_phonetic_key('f.family')} = {duckdb_phonetic_key('a.family')}"
     year_eq = (
         "(coalesce(substr(f.death_iso, 1, 4), '?') = coalesce(substr(a.death_iso, 1, 4), '!')"
         " OR coalesce(substr(f.birth_iso, 1, 4), '?') = coalesce(substr(a.birth_iso, 1, 4), '!'))"
     )
     return _features_ctes() + [
-        f"""scored AS (
+        f"""cand AS MATERIALIZED (
+  SELECT f.record_uri, a.actor_uri
+  FROM features f JOIN actors a ON {fam3_eq} AND {year_eq}
+  UNION
+  SELECT f.record_uri, a.actor_uri
+  FROM features f JOIN actors a ON {phon_eq} AND {year_eq})""",
+        f"""scored AS MATERIALIZED (
   SELECT f.record_uri, a.actor_uri, {_pair_score_sql()} AS score
-  FROM features f JOIN actors a ON {fam_eq} AND {year_eq}
+  FROM cand c
+  JOIN features f ON c.record_uri = f.record_uri
+  JOIN actors a ON c.actor_uri = a.actor_uri
   WHERE {_pair_score_sql()} >= 0.85)""",
-        """mutual AS (
+        """mutual AS MATERIALIZED (
   SELECT record_uri, actor_uri FROM (
     SELECT record_uri, actor_uri,
       row_number() OVER (PARTITION BY record_uri ORDER BY score DESC, actor_uri ASC) AS rl,
@@ -790,23 +833,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_connected_components() -> str:
+    """Non-recursive closure: ``mutual`` is a perfect matching by
+    construction (rl = 1 AND rr = 1 — each record and each actor appears in
+    at most one link), so every connected component is exactly one edge and
+    the transitive closure is the identity. The previous WITH RECURSIVE
+    formulation computed the same thing but DuckDB 1.0's parallel recursive
+    CTE over this (large, inlined) chain returned varying row counts run to
+    run — a measured engine nondeterminism; the matching-based closure is
+    exact for this graph class and deterministic. The Spark side still runs
+    the real distributed CC (large-star/small-star) over the same edges."""
     sel = """
-, sym AS (
-  SELECT record_uri AS src, actor_uri AS dst FROM mutual
-  UNION SELECT actor_uri, record_uri FROM mutual),
-reach AS (
-  SELECT src AS v, src AS c FROM sym
-  UNION
-  SELECT s.src, r.c FROM sym s JOIN reach r ON s.dst = r.v)
-SELECT v AS vertex, min(c) AS component FROM reach GROUP BY v"""
-    return (
-        "WITH RECURSIVE "
-        + synth.CUSTOMER_PIDS_SQL + ",\n"
-        + synth.synth_sql("duckdb") + ",\n"
-        + synth.actors_sql("duckdb") + ",\n"
-        + ",\n".join(_person_link_ctes())
-        + sel
-    )
+SELECT record_uri AS vertex, least(record_uri, actor_uri) AS component FROM mutual
+UNION ALL
+SELECT actor_uri AS vertex, least(record_uri, actor_uri) AS component FROM mutual"""
+    return synth.oracle_prelude([synth.actors_sql("duckdb")] + _person_link_ctes()) + sel
 
 
 # ---------------------------------------------------------------------------
@@ -1480,6 +1520,7 @@ FROM cand WHERE list_cosine_similarity(va, vb) >= 0.2"""
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
     "kg_records_silver": (q_records_silver, oracle_records_silver),
+    "kg_streaming_silver": (q_streaming_silver, oracle_records_silver),
     "kg_record_errors": (q_record_errors, oracle_record_errors),
     "kg_link_ranks": (q_link_ranks, oracle_link_ranks),
     "kg_link_occupations": (q_link_occupations, oracle_link_occupations),

@@ -146,9 +146,15 @@ raw0 AS (
 raw1 AS (
   SELECT pid, given_raw, skunta, kuolinkunta, ssaaty, spuoli, aidinkieli,
     kansalaisuus, menehtluokka,
-    -- family-name dirt: 0-for-O (pid%11=2), previous-name syntax (pid%7=1),
-    -- %-alternative (pid%29=13) — all repaired by the P5 unifier
+    -- family-name dirt: genuine vowel typo in char 2 (pid%31=7 — NOT
+    -- repairable by the unifier; every FAMILIES entry has a vowel there, so
+    -- the fam3 prefix block breaks while the phonetic key survives — the
+    -- class the reference reaches via Lucene '~1' fuzzing,
+    -- SPARQL/arpa_menehtyneet_persons.sparql:20-23), 0-for-O (pid%11=2),
+    -- previous-name syntax (pid%7=1), %-alternative (pid%29=13) — the last
+    -- three repaired by the P5 unifier
     CASE
+      WHEN pid % 31 = 7 THEN substr(fam_base, 1, 1) || (CASE WHEN substr(fam_base, 2, 1) = 'U' THEN 'A' ELSE 'U' END) || substr(fam_base, 3)
       WHEN pid % 11 = 2 THEN replace(fam_base, 'O', '0')
       WHEN pid % 7 = 1 THEN fam_base || ' ENT. ' || fam_alt
       WHEN pid % 29 = 13 THEN fam_base || '%' || fam_alt

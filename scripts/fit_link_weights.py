@@ -203,10 +203,10 @@ Fit: {n_pos} positive pairs / {n_diffs} ranking constraints at {sf_dir},
 P={prec:.4f} R={rec:.4f} at threshold 0.85 + mutual-best (previous
 hand-tuned operating point: P=1.0000 R=0.9964).
 
-Corpus-calibration note: jw_family/rank_eq shrink to ~0 here because
-blocking already conditions on the family prefix and the planted rank dirt
-makes rank disagreement uninformative — on a different corpus re-run the
-fit, do not reuse these constants blindly.
+Corpus-calibration note: the weight pattern is corpus-specific — features
+the blocking already conditions on, or whose planted dirt makes them
+uninformative, can legitimately shrink to ~0. On a different corpus re-run
+the fit; do not reuse these constants blindly.
 """
 
 FITTED_WEIGHTS = {{

@@ -98,3 +98,36 @@ def test_enum_default(spark):
     assert rows[1]["u"].endswith("Nainen")
     assert rows[2]["u"].endswith("Tuntematon")
     assert rows[3]["u"].endswith("Tuntematon")
+
+
+def test_phonetic_key_matches_duckdb_and_tolerates_vowel_typos(spark):
+    """The J7 phonetic block key: (1) Spark and the rendered DuckDB SQL
+    agree byte-for-byte, (2) a vowel substitution — including inside the
+    first 3 chars, where the fam3 prefix block fails — leaves the key
+    unchanged, (3) different consonant skeletons get different keys."""
+    from casualty_linking_spark.functions.similarity import (
+        duckdb_phonetic_key, phonetic_key,
+    )
+
+    names = [
+        "Virtanen", "Vurtanen",      # planted typo class: same key
+        "Tuominen", "Taominen",      # same
+        "Mäkinen", "Makinen",        # fold: same
+        "Heikkilä", "Korhonen", "Laine", "Salminen", "Aalto",
+        "Hämäläinen", "O'Brien", "Karjalainen",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r.name: r.k for r in df.select("name", phonetic_key(F.col("name")).alias("k")).collect()}
+
+    con = duckdb.connect()
+    for n in names:
+        lit = "'" + n.replace("'", "''") + "'"
+        exp = con.execute("select " + duckdb_phonetic_key(lit)).fetchone()[0]
+        assert got[n] == exp, (n, got[n], exp)
+
+    assert got["Virtanen"] == got["Vurtanen"]
+    assert got["Tuominen"] == got["Taominen"]
+    assert got["Mäkinen"] == got["Makinen"]
+    assert got["Virtanen"] != got["Korhonen"]
+    # every key carries the disjointness prefix
+    assert all(k.startswith("P") for k in got.values())

@@ -60,3 +60,64 @@ def test_connected_components_chain(spark):
     )
     comp = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def _cc_py(pairs):
+    """Driver-side union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _cc_check(spark, pairs, max_iter=50):
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    want = _cc_py(pairs)
+    star = {r.vertex: r.component
+            for r in connected_components(edges, max_iter, "star").collect()}
+    label = {r.vertex: r.component
+             for r in connected_components(edges, max_iter, "label").collect()}
+    assert star == want
+    assert label == want
+
+
+def test_cc_star_path_graph_beyond_label_diameter(spark):
+    # 12-hop path: label propagation needs ~12 iterations, star needs O(log);
+    # run star alone with max_iter=6 to prove the round bound actually holds
+    pairs = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(12)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    star = {r.vertex: r.component
+            for r in connected_components(edges, 6, "star").collect()}
+    assert star == {f"v{i:02d}": "v00" for i in range(13)}
+    _cc_check(spark, pairs)
+
+
+def test_cc_star_random_graphs_match_label_and_union_find(spark):
+    # deterministic pseudo-random multi-component graphs (LCG — no RNG
+    # seeding concerns), incl. duplicate edges, reversed dups and self-loops
+    state = 123456789
+    pairs = []
+    for _ in range(60):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % 40
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % 40
+        pairs.append((f"n{a:02d}", f"n{b:02d}"))
+    pairs += [(b, a) for a, b in pairs[:10]]  # reversed duplicates
+    _cc_check(spark, pairs)
+
+
+def test_cc_star_two_cliques_bridge(spark):
+    k1 = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+    k2 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    _cc_check(spark, k1 + k2 + [("a4", "b0")])

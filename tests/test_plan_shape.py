@@ -86,3 +86,17 @@ def test_person_blocking_no_cartesian(spark):
     actors = synth.actors_from_sf(spark, "/root/testdata/sf0.001")
     plan = _plan(link_persons(feats, actors))
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_grouping_skew_safe_no_window(spark):
+    """exact_duplicates / simhash_buckets must not plan a Window over the
+    raw hash key (a mega-cluster key would serialize into one task); the
+    skew-safe shape is groupBy (map-side partial agg) + join-back that AQE
+    skew handling can split."""
+    from casualty_linking_spark.operators.dedup import exact_duplicates, simhash_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (exact_duplicates(docs), simhash_buckets(docs)):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "partial" in plan.lower() or "HashAggregate" in plan, plan

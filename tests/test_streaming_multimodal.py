@@ -67,3 +67,16 @@ def test_multimodal_real_decode_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(None)
+
+
+def test_streaming_silver_equals_batch(spark):
+    """kg_streaming_silver (availableNow file-stream -> incremental T1 ->
+    record collapse) returns exactly the batch silver rows at sf0.001 —
+    incremental == batch."""
+    from casualty_linking_spark.queries import SILVER_COLS, q_records_silver, q_streaming_silver
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in q_records_silver(spark, sf).collect()}
+    streamed = {tuple(r) for r in q_streaming_silver(spark, sf).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
