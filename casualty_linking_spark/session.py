@@ -9,6 +9,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    """tmpfs when present (single-node stand-in for per-executor NVMe),
+    else Spark's normal java.io.tmpdir behavior."""
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark-local"
+    return os.environ.get("TMPDIR", "/tmp")
+
+
 def get_spark(
     app_name: str = "casualty_linking_spark",
     cores: int | None = None,
@@ -42,7 +50,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Size the single local JVM like the sum of a node's executors: the
+        # sandbox has ~125 GiB; a 16g heap made the 148M-triple dedup shuffle
+        # spill + GC-thrash, which showed up as a non-scaling time component
+        # (measured: 8->32 efficiency 0.48 at 30M turns with 16g).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # Shuffle/spill to tmpfs: on a real cluster every executor has its
+        # own local NVMe, so shuffle I/O scales with executor count; on this
+        # single-node sandbox the one virtual disk would serialize it.
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
