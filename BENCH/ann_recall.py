@@ -43,22 +43,72 @@ def main() -> None:
         for r in brute_force_topk(emb, queries, k=k).collect()
     }
 
-    rows = []
-    for n_tables in (1, 2, 4, 8):
+    def measure(tag: str, df, cand_df) -> dict:
+        """recall@k + candidate fraction (rows of the corpus each query
+        actually scores, relative to brute force) — the real cost axis; wall
+        clock on this shared host is noise."""
         t0 = time.perf_counter()
-        got = {
-            (r.query_id, r.vec_id)
-            for r in lsh_topk(emb, queries, dim=EMB_DIM, k=k, n_tables=n_tables).collect()
-        }
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
         wall = time.perf_counter() - t0
-        recall = len(got & truth) / len(truth)
-        rows.append(
-            {
-                "n_tables": n_tables,
-                f"recall@{k}": round(recall, 4),
-                "wall_sec": round(wall, 2),
-            }
-        )
+        n_cand = cand_df.count()
+        return {
+            "config": tag,
+            f"recall@{k}": round(len(got & truth) / len(truth), 4),
+            "cand_fraction": round(n_cand / (n_corpus * n_queries), 4),
+            "wall_sec": round(wall, 2),
+        }
+
+    from casualty_linking_spark.operators.similarity_search import (
+        _as_double,
+        _assign_cells,
+        ivf_seed_centroids,
+        lsh_bucket_key,
+        lsh_probe_keys,
+    )
+
+    def lsh_cands(n_tables: int, probe_bits: int):
+        corpus = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+        c_parts, q_parts = [], []
+        for t in range(n_tables):
+            c_parts.append(corpus.select("vec_id", lsh_bucket_key(F.col("v"), EMB_DIM, t).alias("bucket")))
+            if probe_bits > 0:
+                q_parts.append(q.select(
+                    "query_id",
+                    F.explode(lsh_probe_keys(F.col("qv"), EMB_DIM, t, probe_bits=probe_bits)).alias("bucket")))
+            else:
+                q_parts.append(q.select("query_id", lsh_bucket_key(F.col("qv"), EMB_DIM, t).alias("bucket")))
+        c_all, q_all = c_parts[0], q_parts[0]
+        for p in c_parts[1:]:
+            c_all = c_all.unionByName(p)
+        for p in q_parts[1:]:
+            q_all = q_all.unionByName(p)
+        return c_all.join(F.broadcast(q_all), "bucket").select("query_id", "vec_id").distinct()
+
+    rows = []
+    for n_tables, probe_bits in ((1, 0), (2, 0), (4, 0), (8, 0), (2, 1), (4, 1), (8, 1), (4, 2), (8, 2)):
+        rows.append(measure(
+            f"lsh tables={n_tables} probe={probe_bits}",
+            lsh_topk(emb, queries, dim=EMB_DIM, k=k, n_tables=n_tables, probe_bits=probe_bits),
+            lsh_cands(n_tables, probe_bits),
+        ))
+        print(json.dumps(rows[-1]))
+
+    from casualty_linking_spark.operators.similarity_search import ivf_topk
+
+    for n_probe in (1, 2, 4, 8):
+        cents = ivf_seed_centroids(emb)
+        corpus = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+        cand = _assign_cells(corpus, "vec_id", "v", cents, 1).join(
+            _assign_cells(q, "query_id", "qv", cents, n_probe).select("query_id", "cell_id"),
+            "cell_id",
+        ).select("query_id", "vec_id")
+        rows.append(measure(
+            f"ivf cells=16 probe={n_probe}",
+            ivf_topk(emb, queries, k=k, n_probe=n_probe),
+            cand,
+        ))
         print(json.dumps(rows[-1]))
 
     print(json.dumps({"corpus": n_corpus, "queries": n_queries, "k": k, "sf_dir": sf_dir, "rows": rows}))

@@ -64,8 +64,8 @@ def _hyperplane(dim: int, plane: int, table: int) -> list[float]:
     return out
 
 
-def lsh_bucket_key(v: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-bit bucket key for one LSH table."""
+def _bucket_bits(v: Column, dim: int, table: int, n_planes: int = N_PLANES) -> list[Column]:
+    """Sign-bit columns ('1'/'0') for one LSH table's hyperplanes."""
     bits = []
     for p in range(n_planes):
         plane = _hyperplane(dim, p, table)
@@ -75,23 +75,69 @@ def lsh_bucket_key(v: Column, dim: int, table: int, n_planes: int = N_PLANES) ->
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(F.lit(f"t{table}:"), *bits)
+    return bits
+
+
+def lsh_bucket_key(v: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket key for one LSH table."""
+    return F.concat(F.lit(f"t{table}:"), *_bucket_bits(v, dim, table, n_planes))
+
+
+def lsh_probe_keys(
+    v: Column, dim: int, table: int, n_planes: int = N_PLANES, probe_bits: int = 1
+) -> Column:
+    """Multi-probe bucket keys for the QUERY side: the exact bucket plus all
+    buckets within Hamming distance ``probe_bits`` of it (probe_bits<=2
+    supported — 1+P+P(P-1)/2 keys). Probing neighbor buckets recovers the
+    near neighbors that landed one sign-flip away, the standard multi-probe
+    LSH trick (Lv et al., VLDB'07) — recall of several extra tables for the
+    memory cost of one.
+    """
+    bits = _bucket_bits(v, dim, table, n_planes)
+
+    def key(flip: tuple[int, ...]) -> Column:
+        parts = [
+            F.when(b == "1", F.lit("0")).otherwise(F.lit("1")) if i in flip else b
+            for i, b in enumerate(bits)
+        ]
+        return F.concat(F.lit(f"t{table}:"), *parts)
+
+    keys = [key(())]
+    if probe_bits >= 1:
+        keys += [key((i,)) for i in range(n_planes)]
+    if probe_bits >= 2:
+        keys += [key((i, j)) for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return F.array(*keys)
 
 
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-    n_tables: int = N_TABLES,
+    n_tables: int = N_TABLES, n_planes: int = N_PLANES, probe_bits: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: candidates share an LSH bucket in any table; exact
-    cosine re-rank inside the candidate set. ``n_tables`` is the
-    recall/cost knob — measured recall@10 vs the brute-force ground truth
-    lives in BENCH/ANN_RECALL.md."""
+    cosine re-rank inside the candidate set. ``n_tables`` / ``n_planes`` /
+    ``probe_bits`` are the recall/cost knobs — measured recall@10 and
+    candidate fraction vs the brute-force ground truth live in
+    BENCH/ANN_RECALL.md. Multi-probe expands only the (tiny, broadcast)
+    query side; the corpus is still keyed exactly once per table."""
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     c_parts, q_parts = [], []
     for t in range(n_tables):
-        c_parts.append(corpus.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t).alias("bucket")))
-        q_parts.append(q.select("query_id", "qv", lsh_bucket_key(F.col("qv"), dim, t).alias("bucket")))
+        c_parts.append(
+            corpus.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t, n_planes).alias("bucket"))
+        )
+        if probe_bits > 0:
+            q_parts.append(
+                q.select(
+                    "query_id", "qv",
+                    F.explode(lsh_probe_keys(F.col("qv"), dim, t, n_planes, probe_bits)).alias("bucket"),
+                )
+            )
+        else:
+            q_parts.append(
+                q.select("query_id", "qv", lsh_bucket_key(F.col("qv"), dim, t, n_planes).alias("bucket"))
+            )
     c_all = c_parts[0]
     for p in c_parts[1:]:
         c_all = c_all.unionByName(p)
@@ -102,6 +148,66 @@ def lsh_topk(
     cands = c_all.join(F.broadcast(q_all.select("query_id", "qv", "bucket")), "bucket").dropDuplicates(
         ["query_id", "vec_id"]
     )
+    scored = cands.withColumn("cosine", cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+N_IVF_CELLS = 16
+N_IVF_PROBE = 4
+
+
+def ivf_seed_centroids(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """Deterministic coarse quantizer for :func:`ivf_topk`: the ``n_cells``
+    corpus vectors with the smallest ``md5(vec_id)`` (a deterministic random
+    sample — reproducible in any engine, no k-means RNG state, so the DuckDB
+    oracle can rebuild the identical index). The production path swaps in
+    trained k-means centroids (``pyspark.ml.clustering.KMeans``) via the
+    ``centroids`` argument of ``ivf_topk`` — everything downstream is
+    centroid-agnostic."""
+    return (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), "cv")
+    )
+
+
+def _assign_cells(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame, n_keep: int) -> DataFrame:
+    """Rank centroids by cosine for each vector, keep the top ``n_keep``
+    cells. Centroids are broadcast (tiny); the big side never shuffles."""
+    scored = side.join(F.broadcast(centroids)).withColumn(
+        "cell_cos", cosine(F.col(v_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_keep)
+        .drop("cv", "cell_cos", "cell_rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_cells: int = N_IVF_CELLS, n_probe: int = N_IVF_PROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: the corpus is partitioned into ``n_cells`` Voronoi
+    cells of a coarse quantizer (assignment = one broadcast join, argmax
+    cosine); each query probes its ``n_probe`` nearest cells and re-ranks
+    exactly inside them. At 100 TB the cell id is the write-time partition
+    key, so a query reads ``n_probe/n_cells`` of the corpus — scan cost and
+    recall both scale with ``n_probe`` (measured in BENCH/ANN_RECALL.md)."""
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    cents = centroids if centroids is not None else ivf_seed_centroids(embeddings, n_cells)
+    c_cells = _assign_cells(corpus, "vec_id", "v", cents, n_keep=1)
+    q_cells = _assign_cells(q, "query_id", "qv", cents, n_keep=n_probe)
+    cands = c_cells.join(F.broadcast(q_cells), "cell_id")
     scored = cands.withColumn("cosine", cosine(F.col("qv"), F.col("v")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

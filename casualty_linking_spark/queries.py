@@ -1479,6 +1479,88 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import lsh_topk
+
+    return lsh_topk(
+        _embs(spark, sf_dir), _query_vectors(spark, sf_dir), dim=EMB_DIM, k=ANN_K,
+        probe_bits=1,
+    )
+
+
+def oracle_ann_lsh_multiprobe() -> str:
+    # Multi-probe = the query also probes every bucket at Hamming distance 1
+    # from its own, per table. Equivalent closed form: a (corpus, query) pair
+    # is a candidate iff their bit strings agree on all-but-<=1 plane in SOME
+    # table — rendered with DuckDB's hamming() over the per-table bit suffix.
+    from .operators.similarity_search import N_PLANES, N_TABLES, _hyperplane
+
+    def bucket_sql(table: int) -> str:
+        bits = []
+        for p in range(N_PLANES):
+            plane = _hyperplane(EMB_DIM, p, table)
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END")
+        return f"'t{table}:' || " + " || ".join(bits)
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, v, {bucket_sql(t)} AS bucket FROM corpus" for t in range(N_TABLES)
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS ({keyed}),
+qkeys AS (SELECT vec_id AS query_id, v AS qv, bucket FROM keyed WHERE vec_id < {N_ANN_QUERIES}),
+cands AS (
+  SELECT DISTINCT q.query_id, q.qv, c.vec_id, c.v
+  FROM keyed c JOIN qkeys q
+    ON substr(c.bucket, 1, 3) = substr(q.bucket, 1, 3)
+   AND hamming(substr(c.bucket, 4), substr(q.bucket, 4)) <= 1),
+ranked AS (
+  SELECT query_id, vec_id, list_cosine_similarity(v, qv) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC) AS rank
+  FROM cands)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir), _query_vectors(spark, sf_dir), k=ANN_K)
+
+
+def oracle_ann_ivf_topk() -> str:
+    from .operators.similarity_search import N_IVF_CELLS, N_IVF_PROBE
+
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {N_IVF_CELLS}),
+cassign AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT c.vec_id, c.v, t.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, t.cv) DESC, t.cell_id ASC) AS rn
+    FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < {N_ANN_QUERIES}),
+qprobe AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, t.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, t.cv) DESC, t.cell_id ASC) AS rn
+    FROM q CROSS JOIN cents t) WHERE rn <= {N_IVF_PROBE}),
+cands AS (
+  SELECT p.query_id, p.qv, c.vec_id, c.v
+  FROM cassign c JOIN qprobe p USING (cell_id)),
+ranked AS (
+  SELECT query_id, vec_id, list_cosine_similarity(v, qv) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC) AS rank
+  FROM cands)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dup_pairs
 
@@ -1550,6 +1632,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "text_profile": (q_text_profile, oracle_text_profile),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
+    "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, oracle_ann_lsh_multiprobe),
+    "ann_ivf_topk": (q_ann_ivf_topk, oracle_ann_ivf_topk),
     "emb_near_dup": (q_emb_near_dup, oracle_emb_near_dup),
 }
 
