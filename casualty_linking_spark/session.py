@@ -38,7 +38,14 @@ def get_spark(
         n = cores
 
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, n)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        # Default: one shuffle partition per core. At large inputs prefer
+        # data-proportional sizing (partitions ~ bytes/128MB, i.e. several
+        # per core) so no single reduce task outgrows its execution-memory
+        # share and spills — AQE coalesces the surplus but cannot split an
+        # oversized partition (only skew-join handles that, and a uniform
+        # over-large partition is not skew).
+        shuffle_partitions = int(env_sp) if env_sp else max(8, n)
 
     builder = (
         SparkSession.builder.master(master)
