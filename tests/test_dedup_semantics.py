@@ -104,3 +104,38 @@ def test_ann_self_is_top1(spark):
     ltop = lsh_topk(e, q, dim=64, k=3)
     lfirsts = {r.query_id: r.vec_id for r in ltop.filter("rank = 1").collect()}
     assert lfirsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """Probing every cell makes IVF exact: candidates = whole corpus, so the
+    result must be identical to brute force (the IVF plumbing adds nothing
+    but the cell routing)."""
+    from casualty_linking_spark.operators.similarity_search import (
+        N_IVF_CELLS,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    brute = {(r.query_id, r.rank, r.vec_id) for r in brute_force_topk(e, q, k=5).collect()}
+    full = {(r.query_id, r.rank, r.vec_id) for r in ivf_topk(e, q, k=5, n_probe=N_IVF_CELLS).collect()}
+    assert full == brute
+
+
+def test_multiprobe_superset_of_plain_lsh(spark):
+    """probe_bits=1 candidates strictly contain the probe_bits=0 candidates,
+    so recall can only go up: every plain-LSH hit must also be found (with
+    rank possibly improved, never lost below k with a larger pool)."""
+    from casualty_linking_spark.operators.similarity_search import lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    plain = lsh_topk(e, q, dim=64, k=1000, probe_bits=0)
+    multi = lsh_topk(e, q, dim=64, k=1000, probe_bits=1)
+    plain_set = {(r.query_id, r.vec_id) for r in plain.collect()}
+    multi_set = {(r.query_id, r.vec_id) for r in multi.collect()}
+    assert plain_set <= multi_set
+    # self is always in its own (unflipped) bucket
+    assert {(r.query_id, r.vec_id) for r in multi.filter("rank = 1").collect()} == {
+        (0, 0), (1, 1), (2, 2)}

@@ -99,7 +99,9 @@ def test_real_municipalities_roundtrip_counts(spark, tmp_path):
     write_ttl(t.withColumn("graph_kind", F.lit("dims")), path)
     back = read_ntriples(spark, path).cache()
     assert back.count() == 2446
-    assert back.filter(F.col("lang") == "fi").count() == 632
+    # 633 @fi literals = 632 wcsc:Municipality prefLabels + the
+    # municipality_ontology concept-scheme header's own label
+    assert back.filter(F.col("lang") == "fi").count() == 633
     sample = back.filter(
         F.col("subj") == "http://ldf.fi/warsa/casualties/municipalities/k0004"
     )

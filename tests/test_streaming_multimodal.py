@@ -80,3 +80,72 @@ def test_streaming_silver_equals_batch(spark):
     streamed = {tuple(r) for r in q_streaming_silver(spark, sf).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_watermark_bounds_state_and_drops_late(spark, tmp_path):
+    """Late-data semantics of the watermarked record-counts stream: a turn
+    arriving after the watermark has passed its window is dropped, and each
+    finalized window is emitted exactly once (append mode). Three
+    availableNow passes over one checkpoint — the watermark persists in the
+    checkpoint between restarts, which is exactly how a production
+    incremental job advances."""
+    import datetime as dt
+
+    from casualty_linking_spark.streaming.ingest import stream_record_counts
+
+    inp = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "counts")
+    inp.mkdir()
+
+    def turns(conv, ts_list, start_idx=0):
+        return [
+            (conv, start_idx + i, "user", f"turn {i}", None,
+             dt.datetime(2026, 1, 1, *hm, tzinfo=dt.timezone.utc))
+            for i, hm in enumerate(ts_list)
+        ]
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(inp))
+
+    def run_pass():
+        q = (
+            stream_record_counts(spark, str(inp), ckpt, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # pass 1: conv A fully inside the 10:00 window
+    write_file(turns("A", [(10, 0), (10, 5), (10, 40)]))
+    run_pass()
+    # pass 2: conv B at 12:00 -> watermark advances to 11:50, finalizing the
+    # 10:00 window
+    write_file(turns("B", [(12, 0)]))
+    run_pass()
+    # pass 3: a LATE turn for conv A at 10:05 — behind the checkpointed
+    # watermark (11:50), must be dropped, not merged into the finalized
+    # window (which this batch emits)
+    write_file(turns("A", [(10, 5)], start_idx=10))
+    run_pass()
+    # passes 4+5: advance event time so B's window finalizes and emits
+    write_file(turns("C", [(14, 0)]))
+    run_pass()
+    write_file(turns("D", [(16, 0)]))
+    run_pass()
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r.conv_id, r.window.start.hour): r.n_turns for r in rows}
+    # exactly-once per finalized window: no (conv, window) appears twice
+    assert len(got) == len(rows), rows
+    # the 10:00 window for A was finalized with the on-time 3 turns only;
+    # the late duplicate never reappears
+    assert got[("A", 10)] == 3, got
+    # B's 12:00 window finalized once later turns pushed the watermark past it
+    assert got[("B", 12)] == 1, got
