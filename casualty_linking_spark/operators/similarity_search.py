@@ -177,6 +177,30 @@ def ivf_seed_centroids(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> Dat
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, n_cells: int = N_IVF_CELLS, seed: int = 1) -> DataFrame:
+    """Production coarse quantizer for :func:`ivf_topk`: k-means cluster
+    centers trained with ``pyspark.ml.clustering.KMeans`` (seeded). Returns
+    the same (cell_id, cv) shape as :func:`ivf_seed_centroids`, so it drops
+    straight into ``ivf_topk(centroids=...)``. On clustered corpora this
+    moves the recall/candidate-fraction curve well above the uniform-data
+    floor documented in BENCH/ANN_RECALL.md. Not oracle-checked (k-means is
+    engine-specific); the full-probe==brute-force invariant is tested for
+    arbitrary centroid sets instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    feats = embeddings.select(
+        array_to_vector(_as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, cv array<double>",
+    )
+    return centers
+
+
 def _assign_cells(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame, n_keep: int) -> DataFrame:
     """Rank centroids by cosine for each vector, keep the top ``n_keep``
     cells. Centroids are broadcast (tiny); the big side never shuffles."""

@@ -1,6 +1,7 @@
 """Dedup-family semantics on planted duplicates (the driver's documents
 table is all-distinct, so these plant their own)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -139,3 +140,26 @@ def test_multiprobe_superset_of_plain_lsh(spark):
     # self is always in its own (unflipped) bucket
     assert {(r.query_id, r.vec_id) for r in multi.filter("rank = 1").collect()} == {
         (0, 0), (1, 1), (2, 2)}
+
+
+def test_ivf_kmeans_centroids_full_probe_equals_brute(spark):
+    """The full-probe==brute-force invariant holds for ANY centroid set —
+    including trained k-means centers (the production quantizer). Also
+    checks the kmeans helper emits the (cell_id, cv) contract shape."""
+    pytest.importorskip("pyspark.ml")
+    from casualty_linking_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cents = kmeans_centroids(e, n_cells=4, seed=1)
+    assert set(cents.columns) == {"cell_id", "cv"} and cents.count() == 4
+    brute = {(r.query_id, r.rank, r.vec_id) for r in brute_force_topk(e, q, k=5).collect()}
+    full = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()
+    }
+    assert full == brute
