@@ -5,6 +5,9 @@ brute-force ground truth, as a function of the N_TABLES knob
 BENCH/ANN_RECALL.md — the evidence behind the default table count.
 
 Run: python BENCH/ann_recall.py [sf_dir] [k] (defaults /root/testdata/sf0.1, 10)
+     python BENCH/ann_recall.py --clustered   (planted-Gaussian-cluster fixture:
+         trained-KMeans IVF vs seed-sample IVF vs brute force — the evidence
+         that kmeans_centroids moves the curve above the uniform-data floor)
 """
 
 from __future__ import annotations
@@ -17,6 +20,84 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def clustered_main() -> None:
+    """Recall study on a corpus with REAL cluster structure (the sf
+    embeddings are near-uniform — the worst case for any partitioning ANN,
+    by construction). Plants n_clusters Gaussian blobs on the unit sphere
+    (seeded, deterministic), holds out 3 query points per cluster, and
+    measures recall@10 + candidate fraction for IVF with the trained
+    k-means quantizer vs the md5-seed-sample quantizer at the same probe
+    counts."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.similarity_search import (
+        _as_double,
+        _assign_cells,
+        brute_force_topk,
+        ivf_seed_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from casualty_linking_spark.session import get_spark
+
+    n_clusters, per_cluster, dim, k = 16, 300, 64, 10
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 1.0, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus_rows, query_rows = [], []
+    vid = 0
+    for c in range(n_clusters):
+        for p in centers[c] + rng.normal(0.0, 0.15, (per_cluster, dim)):
+            corpus_rows.append((vid, [float(x) for x in p]))
+            vid += 1
+        for p in centers[c] + rng.normal(0.0, 0.15, (3, dim)):
+            query_rows.append((c * 3 + len(query_rows) % 3, [float(x) for x in p]))
+
+    spark = get_spark(app_name="ann_recall_clustered")
+    emb = spark.createDataFrame(corpus_rows, "vec_id bigint, embedding array<double>")
+    queries = spark.createDataFrame(query_rows, "query_id bigint, qv array<double>")
+    n_corpus, n_queries = len(corpus_rows), len(query_rows)
+
+    truth = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=k).collect()}
+
+    def measure(tag: str, cents, n_probe: int) -> dict:
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=k, n_probe=n_probe, centroids=cents).collect()
+        }
+        wall = time.perf_counter() - t0
+        corpus_d = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        q_d = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
+        n_cand = (
+            _assign_cells(corpus_d, "vec_id", "v", cents, 1)
+            .join(_assign_cells(q_d, "query_id", "qv", cents, n_probe).select("query_id", "cell_id"), "cell_id")
+            .count()
+        )
+        return {
+            "config": f"{tag} probe={n_probe}",
+            f"recall@{k}": round(len(got & truth) / len(truth), 4),
+            "cand_fraction": round(n_cand / (n_corpus * n_queries), 4),
+            "wall_sec": round(wall, 2),
+        }
+
+    rows = []
+    kc = kmeans_centroids(emb, n_cells=n_clusters, seed=1).cache()
+    kc.count()
+    sc = ivf_seed_centroids(emb, n_cells=n_clusters).cache()
+    sc.count()
+    for n_probe in (1, 2, 4):
+        rows.append(measure("ivf-kmeans cells=16", kc, n_probe))
+        print(json.dumps(rows[-1]))
+        rows.append(measure("ivf-seed cells=16", sc, n_probe))
+        print(json.dumps(rows[-1]))
+    print(json.dumps({
+        "fixture": f"{n_clusters} Gaussian clusters x {per_cluster}, sigma=0.15, dim={dim}, seed=7",
+        "corpus": n_corpus, "queries": n_queries, "k": k, "rows": rows,
+    }))
+    spark.stop()
 
 
 def main() -> None:
@@ -116,4 +197,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--clustered" in sys.argv:
+        clustered_main()
+    else:
+        main()

@@ -11,6 +11,25 @@ cores = int(sys.argv[1]); n = int(sys.argv[2])
 spark = get_spark(cores=cores)
 def tt(label, fn):
     t0=time.perf_counter(); r=fn(); print(label, round(time.perf_counter()-t0,2), flush=True); return r
+
+if "--pipeline" in sys.argv:
+    # Per-stage walls of a full Pipeline.run (stage = parquet write + manifest):
+    # the unit-linker cost must appear ONCE (t3_unit_stage) with
+    # t3_unit_links / t3_related_periods as cheap filters over its parquet.
+    import tempfile
+    from casualty_linking_spark.plans.pipeline import Pipeline
+    t = synth.transcripts_range(spark, n)
+    p = Pipeline(spark, tempfile.mkdtemp(prefix="stageprof_"), t)
+    orig = p._stage
+    def timed_stage(name, inputs, build, **kw):
+        t0 = time.perf_counter()
+        out = orig(name, inputs, build, **kw)
+        print(f"stage {name}", round(time.perf_counter() - t0, 2), flush=True)
+        return out
+    p._stage = timed_stage
+    tt("pipeline_total", lambda: p.run().count())
+    spark.stop()
+    sys.exit(0)
 # warmup small
 t = synth.transcripts_range(spark, 2000)
 rec0 = REC.build_records(extract.mentions_to_raw_records(extract.extract_mentions(t))).localCheckpoint(eager=True)

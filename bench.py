@@ -24,6 +24,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _host_health(spin_seconds: float = 1.0) -> dict:
+    """Spin canary + load average, embedded in every bench JSON so each
+    BENCH_r*.json is self-describing about host state (the r2->r3 driver
+    numbers moved 1.7x on host pressure alone, BENCH/SCALING.md). The canary
+    is a single-thread pure-Python loop — its Mops/s tracks the deliverable
+    per-core compute of the shared box at measurement time."""
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < spin_seconds:
+        for _ in range(100000):
+            pass
+        n += 100000
+    mops = n / (time.perf_counter() - t0) / 1e6
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
+    return {
+        "canary_mops": round(mops, 1),
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+    }
+
+
 def _sf_label(sf_dir: str) -> float:
     try:
         return float(Path(sf_dir).name.replace("sf", ""))
@@ -36,6 +59,7 @@ def run_suite(cores: int | None = None, sf_dir: str = SF_DIR) -> dict:
     from casualty_linking_spark import queries as Q
     from casualty_linking_spark import synth
 
+    health_before = _host_health()
     spark = get_spark(app_name="bench", cores=cores)
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -69,6 +93,8 @@ def run_suite(cores: int | None = None, sf_dir: str = SF_DIR) -> dict:
         "triples": n_triples,
         "turns_per_sec": tps,
         "cores": cores or os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "host_before": health_before,
+        "host_after": _host_health(),
     }
     spark.stop()
     return out
@@ -108,6 +134,7 @@ def run_scale_job(cores: int, n_records: int) -> dict:
         ul, period = link_units(rec, d["unit_labels"])
         return union_graphs(cas, rl, ol, ul, period).count()
 
+    health_before = _host_health()
     job(2000)  # warm-up: codegen + plan compile
     walls = []
     n_triples = 0
@@ -126,6 +153,8 @@ def run_scale_job(cores: int, n_records: int) -> dict:
         "wall": round(wall, 2),
         "walls": [round(w, 2) for w in walls],
         "turns_per_sec": round(n_turns / wall, 1),
+        "host_before": health_before,
+        "host_after": _host_health(),
     }
 
 

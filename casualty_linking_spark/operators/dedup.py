@@ -71,9 +71,14 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     groups = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
     )
-    return hashed.join(groups, "text_hash").select(
-        "doc_id", "text_hash", "canonical_id", "group_size"
-    )
+    # md5(NULL) is NULL; a plain equi-join would drop NULL-text docs, while
+    # the DuckDB oracle's window (PARTITION BY md5(text)) keeps them as one
+    # group. Null-safe equality (<=>) preserves that group and still plans
+    # as a hash join.
+    return hashed.join(
+        groups.withColumnRenamed("text_hash", "group_hash"),
+        F.col("text_hash").eqNullSafe(F.col("group_hash")),
+    ).select("doc_id", "text_hash", "canonical_id", "group_size")
 
 
 def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
@@ -212,11 +217,23 @@ def simhash_buckets(documents: DataFrame) -> DataFrame:
     replicated corpus-wide), so same skew-safe shape as exact_duplicates:
     map-side-combining groupBy for the canonical id, then a join-back that
     AQE skew handling can split — never a window over the fingerprint.
-    The 65-agg fingerprint build runs once (localCheckpoint) rather than
-    once per join branch."""
-    fp = simhash64_fingerprints(documents).localCheckpoint(eager=True)
+
+    The expensive part of the fingerprint build (word explode + md5 + the
+    64 partial bit-sums) sits BELOW the groupBy(doc_id) exchange, and both
+    join branches share that exact exchange subtree, so ReuseExchange
+    computes it once — no checkpoint needed (an eager localCheckpoint here
+    cost an extra materialization job + join-back shuffle, measured ~2.8x
+    the r2 wall at sf0.1). The post-exchange work that runs per branch
+    (final agg + digit projection) is one row per doc. The simhash string
+    is never NULL by construction (wordless/NULL-text docs fold to the
+    all-zeros fingerprint), but the join is null-safe anyway so a future
+    nullable fingerprint cannot silently drop rows."""
+    fp = simhash64_fingerprints(documents)
     canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("canonical_id"))
-    return fp.join(canon, "simhash").select("doc_id", "simhash", "canonical_id")
+    return fp.join(
+        canon.withColumnRenamed("simhash", "group_fp"),
+        F.col("simhash").eqNullSafe(F.col("group_fp")),
+    ).select("doc_id", "simhash", "canonical_id")
 
 
 def _nibble(fp: Column, i: Column) -> Column:

@@ -93,6 +93,11 @@ def lsh_probe_keys(
     LSH trick (Lv et al., VLDB'07) — recall of several extra tables for the
     memory cost of one.
     """
+    if not 0 <= probe_bits <= 2:
+        raise ValueError(
+            f"probe_bits must be 0, 1 or 2 (got {probe_bits}): Hamming>2 probe "
+            "expansion is unimplemented and silently capping would under-report recall"
+        )
     bits = _bucket_bits(v, dim, table, n_planes)
 
     def key(flip: tuple[int, ...]) -> Column:
@@ -120,6 +125,8 @@ def lsh_topk(
     candidate fraction vs the brute-force ground truth live in
     BENCH/ANN_RECALL.md. Multi-probe expands only the (tiny, broadcast)
     query side; the corpus is still keyed exactly once per table."""
+    if not 0 <= probe_bits <= 2:
+        raise ValueError(f"probe_bits must be 0, 1 or 2 (got {probe_bits})")
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
     c_parts, q_parts = [], []

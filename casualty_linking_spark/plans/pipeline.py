@@ -16,7 +16,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from .. import dims
+from .. import dims, namespaces as NS
 from ..operators import extract, records as REC
 from ..operators.link_occupations import link_occupations
 from ..operators.link_persons import casualty_features, connected_components, link_persons
@@ -26,7 +26,7 @@ from ..operators.persons_generate import generate_persons
 from ..operators.triples import records_to_triples, union_graphs
 from . import storage
 
-CODE_VERSION = "r3"
+CODE_VERSION = "r4"
 
 
 class Pipeline:
@@ -55,7 +55,7 @@ class Pipeline:
 
     # -- stage machinery ----------------------------------------------------
 
-    def _input_identity(self, df: DataFrame | None = None) -> str:
+    def _input_identity(self, df: DataFrame | None = None, content: bool = False) -> str:
         """Identity of an input DataFrame (default: the source transcripts),
         folded into the consuming stage's fingerprint so re-running against
         the same root with *different* input re-runs the DAG (resume must
@@ -64,10 +64,16 @@ class Pipeline:
         are immutable-by-convention). In-memory/SQL-synthesized sources (no
         input files): one aggregate pass — row count + order-independent
         bit_xor of xxhash64 over all columns (xor, not sum: summing
-        2^63-range hashes overflows under ANSI arithmetic)."""
+        2^63-range hashes overflows under ANSI arithmetic).
+
+        ``content=True`` forces the aggregate content hash even for
+        file-backed sources — required for inputs that are hand-edited in
+        place (the curated Turtle additions), where the file *list* stays
+        identical across edits and a metadata-only identity would silently
+        resume stale downstream output."""
         df = self.transcripts if df is None else df
         files = df.inputFiles()
-        if files:
+        if files and not content:
             basis = "files:" + "|".join(sorted(files))
         else:
             cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
@@ -137,13 +143,25 @@ class Pipeline:
             "t3_occupation_links", ["t2_records"],
             lambda: link_occupations(t2, self.dims["occupations"]),
         )
+        # link_units produces BOTH unit links and related-period triples from
+        # one pass (path A's distinct-vocabulary fuzzy scoring is the most
+        # expensive linker stage); materialize the union once, then derive
+        # the two stage tables by predicate filter over the written parquet —
+        # unit linking executes exactly once per pipeline run. The two
+        # outputs are distinguishable by `pred` (cas:unit vs related_period).
+        unit_stage = self._stage(
+            "t3_unit_stage", ["t2_records"],
+            lambda: (lambda pair: pair[0].unionByName(pair[1]))(
+                link_units(t2, self.dims["unit_labels"])
+            ),
+        )
         unit_links = self._stage(
-            "t3_unit_links", ["t2_records"],
-            lambda: link_units(t2, self.dims["unit_labels"])[0],
+            "t3_unit_links", ["t3_unit_stage"],
+            lambda: unit_stage.filter(F.col("pred") != NS.RELATED_PERIOD),
         )
         periods = self._stage(
-            "t3_related_periods", ["t2_records"],
-            lambda: link_units(t2, self.dims["unit_labels"])[1],
+            "t3_related_periods", ["t3_unit_stage"],
+            lambda: unit_stage.filter(F.col("pred") == NS.RELATED_PERIOD),
         )
 
         person_links = None
@@ -181,7 +199,9 @@ class Pipeline:
         if self.additions is not None:
             # curated additions merge (reference process.sh:17) — set
             # semantics via union_graphs' dedup; the additions' own identity
-            # joins the fingerprint so editing the curated file re-runs t5
+            # joins the fingerprint so editing the curated file re-runs t5.
+            # content=True: the typical source is a hand-maintained Turtle
+            # file edited IN PLACE, so the file list alone is not an identity
             add = self.additions
             if "graph_kind" not in add.columns:
                 add = add.withColumn("graph_kind", F.lit("casualties"))
@@ -190,7 +210,9 @@ class Pipeline:
                     "subj", "pred", "obj", "obj_type", "lang", "datatype", "graph_kind"
                 )
             )
-            extra_inputs.append("additions:" + self._input_identity(self.additions))
+            extra_inputs.append(
+                "additions:" + self._input_identity(self.additions, content=True)
+            )
 
         triples = self._stage(
             "t5_triples",

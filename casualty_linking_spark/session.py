@@ -9,12 +9,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _system_memory_gib() -> float:
+    """Physical memory of the host (GiB), 0.0 if undetectable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
+
+
+# The aggressive defaults (64g heap, tmpfs shuffle dir) assume a host with
+# RAM to spare for both — like this ~125 GiB sandbox. On a smaller machine
+# the tmpfs spill would compete with the heap for the same physical pages
+# and can OOM the host instead of spilling to disk, so below this threshold
+# the conservative 16g/disk defaults apply. Env vars always override.
+_BIG_HOST_GIB = 96.0
+
+
 def _default_local_dir() -> str:
-    """tmpfs when present (single-node stand-in for per-executor NVMe),
-    else Spark's normal java.io.tmpdir behavior."""
-    if os.path.isdir("/dev/shm"):
+    """tmpfs when present AND the host has memory to spare (single-node
+    stand-in for per-executor NVMe), else Spark's normal java.io.tmpdir
+    behavior."""
+    if _system_memory_gib() >= _BIG_HOST_GIB and os.path.isdir("/dev/shm"):
         return "/dev/shm/spark-local"
     return os.environ.get("TMPDIR", "/tmp")
+
+
+def _default_driver_memory() -> str:
+    return "64g" if _system_memory_gib() >= _BIG_HOST_GIB else "16g"
 
 
 def get_spark(
@@ -60,8 +85,9 @@ def get_spark(
         # Size the single local JVM like the sum of a node's executors: the
         # sandbox has ~125 GiB; a 16g heap made the 148M-triple dedup shuffle
         # spill + GC-thrash, which showed up as a non-scaling time component
-        # (measured: 8->32 efficiency 0.48 at 30M turns with 16g).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # (measured: 8->32 efficiency 0.48 at 30M turns with 16g). Gated on
+        # detected host memory — see _default_driver_memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         # Shuffle/spill to tmpfs: on a real cluster every executor has its
         # own local NVMe, so shuffle I/O scales with executor count; on this
         # single-node sandbox the one virtual disk would serialize it.

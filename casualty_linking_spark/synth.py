@@ -342,14 +342,30 @@ def oracle_prelude(extra_ctes: list[str] | None = None) -> str:
     return "WITH " + ",\n".join(parts) + "\n"
 
 
-def _register_parquet(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+def _register_parquet(
+    spark: SparkSession, sf_dir: str, tables: list[str], repartition: int | None = None
+) -> None:
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if repartition:
+            df = df.repartition(repartition)
+        df.createOrReplaceTempView(t)
 
 
 def transcripts_from_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcripts derived from the driver's customer table (oracle parity)."""
-    _register_parquet(spark, sf_dir, ["customer"])
+    """Transcripts derived from the driver's customer table (oracle parity).
+
+    The sf parquet is a single file, so without a repartition the whole
+    synthetic-text CASE projection (and everything up to the first shuffle
+    downstream) serializes on ONE core — measured as a tens-of-seconds
+    single-task Stage 0 inside the cold kg_pipeline bench. Spreading the
+    pids across the default parallelism first costs one tiny shuffle of the
+    key column and parallelizes the expensive projection. Values are
+    pid-deterministic, so row content (and the DuckDB oracle hash) is
+    unaffected."""
+    _register_parquet(
+        spark, sf_dir, ["customer"], repartition=spark.sparkContext.defaultParallelism
+    )
     sql = "WITH " + CUSTOMER_PIDS_SQL + ",\n" + synth_sql("spark") + "\nSELECT * FROM transcripts"
     return spark.sql(sql)
 

@@ -163,3 +163,87 @@ def test_ivf_kmeans_centroids_full_probe_equals_brute(spark):
         for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()
     }
     assert full == brute
+
+
+def test_exact_dedup_keeps_null_text_docs(spark):
+    """md5(NULL) is NULL; the null-safe join must keep NULL-text docs as one
+    group (the DuckDB oracle's PARTITION BY md5(text) groups them too — a
+    plain equi-join would silently drop them)."""
+    from casualty_linking_spark.operators.dedup import exact_duplicates
+
+    d = _docs_with_dups(spark)
+    nulls = d.filter("doc_id < 2").withColumn("doc_id", F.col("doc_id") + 5000).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    out = exact_duplicates(d.unionByName(nulls))
+    null_rows = out.filter("doc_id >= 5000").collect()
+    assert len(null_rows) == 2
+    assert all(r.text_hash is None for r in null_rows)
+    assert all(r.canonical_id == 5000 and r.group_size == 2 for r in null_rows)
+    # and NULL-text docs never merge with real-text groups
+    assert out.filter("doc_id < 5000").filter("text_hash IS NULL").count() == 0
+
+
+def test_simhash_null_and_empty_text_fold_to_zero_fingerprint(spark):
+    from casualty_linking_spark.operators.dedup import simhash_buckets
+
+    d = _docs_with_dups(spark).limit(5)
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, "")], "doc_id bigint, text string"
+    )
+    out = simhash_buckets(d.select("doc_id", "text").unionByName(extra))
+    zeros = {r.doc_id: r.simhash for r in out.filter("doc_id >= 9000").collect()}
+    assert zeros == {9001: "0" * 16, 9002: "0" * 16}
+
+
+def test_lsh_probe_bits_validated(spark):
+    """probe_bits outside [0, 2] must raise, not silently cap (silent capping
+    under-reports the recall the caller thinks they measured)."""
+    from casualty_linking_spark.operators.similarity_search import lsh_probe_keys, lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 1").select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    for bad in (3, -1):
+        with pytest.raises(ValueError, match="probe_bits"):
+            lsh_probe_keys(F.col("qv"), 64, 0, probe_bits=bad)
+        with pytest.raises(ValueError, match="probe_bits"):
+            lsh_topk(e, q, dim=64, probe_bits=bad)
+
+
+def test_ivf_kmeans_beats_uniform_floor_on_clustered_corpus(spark):
+    """On a corpus with real cluster structure, the trained-KMeans quantizer
+    recovers (nearly) all true neighbors at a small probe count — the
+    measured claim behind kmeans_centroids' docstring (full curve:
+    BENCH/ann_recall.py --clustered, committed in BENCH/ANN_RECALL.md)."""
+    pytest.importorskip("pyspark.ml")
+    import numpy as np
+
+    from casualty_linking_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 8, 60, 16
+    centers = rng.normal(0.0, 1.0, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus, queries = [], []
+    vid = 0
+    for c in range(n_clusters):
+        for p in centers[c] + rng.normal(0.0, 0.15, (per_cluster, dim)):
+            corpus.append((vid, [float(x) for x in p]))
+            vid += 1
+        qp = centers[c] + rng.normal(0.0, 0.15, dim)
+        queries.append((c, [float(x) for x in qp]))
+    emb = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame(queries, "query_id bigint, qv array<double>")
+
+    truth = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    cents = kmeans_centroids(emb, n_cells=n_clusters, seed=1)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=5, n_probe=2, centroids=cents).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"clustered-corpus recall@5 at n_probe=2 was {recall}"

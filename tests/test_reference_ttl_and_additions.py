@@ -150,3 +150,33 @@ def test_pipeline_additions_merge(spark, tmp_path):
     t5b = Pipeline(spark, root, transcripts, additions=additions2).run()
     assert storage.read_manifest(f"{root}/t5_triples")["fingerprint"] != man1["fingerprint"]
     assert t5b.filter(F.col("subj") == "http://x/p2").count() == 1
+
+
+def test_additions_identity_is_content_based(spark, tmp_path):
+    """The additions fingerprint must hash CONTENT even for file-backed
+    sources: the curated Turtle file is hand-edited in place, so its file
+    list never changes — a metadata-only identity would silently resume a
+    stale t5 after an edit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from casualty_linking_spark import synth
+    from casualty_linking_spark.plans.pipeline import Pipeline
+
+    p = str(tmp_path / "add.parquet")
+    rows = {
+        "subj": ["http://x/p1"], "pred": ["http://p"], "obj": ["o1"],
+        "obj_type": ["literal"], "lang": [None], "datatype": [None],
+    }
+    pq.write_table(pa.table(rows), p)
+    pipe = Pipeline(spark, str(tmp_path / "root"), synth.transcripts_range(spark, 5))
+    df1 = spark.read.parquet(p)
+    meta1 = pipe._input_identity(df1)
+    content1 = pipe._input_identity(df1, content=True)
+
+    # in-place edit: identical file list, different triple
+    rows["obj"] = ["o2"]
+    pq.write_table(pa.table(rows), p)
+    df2 = spark.read.parquet(p)
+    assert pipe._input_identity(df2) == meta1  # metadata identity is blind...
+    assert pipe._input_identity(df2, content=True) != content1  # ...content is not
