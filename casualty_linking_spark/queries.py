@@ -1561,6 +1561,21 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk through the ON-DISK partitioned index
+    (ivf_write -> parquet partitionBy(cell_id) -> ivf_topk_indexed with
+    partition-pruned scan). Same oracle as ann_ivf_topk: the index is a
+    materialization of the identical logical query, so any divergence
+    (a cell written or pruned wrongly) fails the hash check."""
+    import tempfile
+
+    from .operators.similarity_search import ivf_topk_indexed, ivf_write
+
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_write(_embs(spark, sf_dir), path)
+    return ivf_topk_indexed(spark, path, _query_vectors(spark, sf_dir), k=ANN_K)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dup_pairs
 
@@ -1634,6 +1649,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, oracle_ann_lsh_multiprobe),
     "ann_ivf_topk": (q_ann_ivf_topk, oracle_ann_ivf_topk),
+    "ann_ivf_indexed": (q_ann_ivf_indexed, oracle_ann_ivf_topk),
     "emb_near_dup": (q_emb_near_dup, oracle_emb_near_dup),
 }
 
