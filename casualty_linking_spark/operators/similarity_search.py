@@ -208,9 +208,61 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = N_IVF_CELLS, seed: in
     return centers
 
 
+# Above this many (cell, dim) literals the per-row expression tree gets big
+# enough to slow planning; fall back to the join+window shape, which AQE
+# handles fine at moderate centroid counts.
+_LITERAL_CENTROID_BUDGET = 64 * 1024
+
+
 def _assign_cells(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame, n_keep: int) -> DataFrame:
     """Rank centroids by cosine for each vector, keep the top ``n_keep``
-    cells. Centroids are broadcast (tiny); the big side never shuffles."""
+    cells.
+
+    Centroids are collected to a LITERAL array (bounded by index geometry —
+    ≤ n_cells entries, never data-sized) and the top cells are computed as
+    one per-row JVM expression: transform → array_sort (score desc, cell_id
+    asc — the same tie-break the oracle's row_number uses) → slice. For the
+    corpus side this is the difference that matters at 100 TB: the previous
+    broadcast-join + ``Window.partitionBy(vec_id)`` shape multiplied the
+    corpus ×n_cells and then SHUFFLED it by vec_id just to pick each row's
+    argmax; this shape is shuffle-free and stays inside whole-stage codegen
+    (asserted in tests/test_ivf_index.py::test_cell_assignment_is_shuffle_free).
+    Very large centroid sets (beyond ``_LITERAL_CENTROID_BUDGET`` literals)
+    take the old join+window path instead of inflating the plan."""
+    cents = sorted((r["cell_id"], [float(x) for x in r["cv"]]) for r in centroids.collect())
+    if cents and len(cents) * len(cents[0][1]) > _LITERAL_CENTROID_BUDGET:
+        return _assign_cells_join(side, id_col, v_col, centroids, n_keep)
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cid).alias("cell_id"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
+        )
+        for cid, cv in cents
+    ])
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            cosine(F.col(v_col), c["cv"]).alias("s"), c["cell_id"].alias("cell_id")
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["s"] > r["s"], -1)
+        .when(l["s"] < r["s"], 1)
+        .when(l["cell_id"] < r["cell_id"], -1)
+        .when(l["cell_id"] > r["cell_id"], 1)
+        .otherwise(0),
+    )
+    return (
+        side.select(id_col, v_col, F.explode(F.slice(ranked, 1, n_keep)).alias("_cell"))
+        .select(id_col, v_col, F.col("_cell.cell_id").alias("cell_id"))
+    )
+
+
+def _assign_cells_join(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame, n_keep: int) -> DataFrame:
+    """Join+window fallback for very large centroid sets (the big side is
+    multiplied ×n_cells and shuffled by its id for the per-row argmax —
+    only acceptable when the literal-expression path would not plan well)."""
     scored = side.join(F.broadcast(centroids)).withColumn(
         "cell_cos", cosine(F.col(v_col), F.col("cv"))
     )

@@ -122,6 +122,49 @@ def test_full_probe_indexed_equals_brute(spark, tmp_path):
     assert got == want
 
 
+def test_cell_assignment_is_shuffle_free(spark):
+    """Corpus→cell assignment must be a per-row expression, not a
+    join+window: no Exchange anywhere in its physical plan (the old shape
+    multiplied the corpus ×n_cells and shuffled it by vec_id — a full
+    corpus shuffle per index build at 100 TB)."""
+    from casualty_linking_spark.operators.similarity_search import (
+        _as_double,
+        _assign_cells,
+    )
+
+    emb = _embs(spark)
+    corpus = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents = ivf_seed_centroids(emb, n_cells=4)
+    assigned = _assign_cells(corpus, "vec_id", "v", cents, n_keep=1)
+    plan = assigned._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_literal_and_join_assignment_agree(spark):
+    """The literal-expression path and the large-centroid-set join+window
+    fallback must produce identical (id, cell) assignments, including the
+    score-then-cell_id tie-break."""
+    from casualty_linking_spark.operators.similarity_search import (
+        _as_double,
+        _assign_cells,
+        _assign_cells_join,
+    )
+
+    emb = _embs(spark)
+    corpus = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents = ivf_seed_centroids(emb, n_cells=8).localCheckpoint(eager=True)
+    for n_keep in (1, 3):
+        lit = sorted(
+            (r.vec_id, r.cell_id)
+            for r in _assign_cells(corpus, "vec_id", "v", cents, n_keep).collect()
+        )
+        join = sorted(
+            (r.vec_id, r.cell_id)
+            for r in _assign_cells_join(corpus, "vec_id", "v", cents, n_keep).collect()
+        )
+        assert lit == join and len(lit) > 0
+
+
 def test_contract_query_matches_plain_ivf(spark):
     """The ann_ivf_indexed contract entry returns the same rows as
     ann_ivf_topk (they share one oracle)."""
