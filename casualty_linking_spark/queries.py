@@ -1561,6 +1561,43 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+def q_dedup_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming dedup under the batch oracle: the documents table is
+    replayed as a file stream with a deterministic event time, deduped
+    incrementally with bounded watermark state
+    (dropDuplicatesWithinWatermark), and every surviving row's hash is
+    returned. WHICH representative document survives is arrival-order
+    dependent, so the oracle-stable projection is the deduped key set —
+    returned without a defensive distinct, so a malfunctioning stream that
+    emits a duplicate (or drops a group) fails the row-count/hash gate.
+    Oracle = batch DISTINCT over the same null-safe hash: incremental ==
+    batch."""
+    import tempfile
+
+    from .streaming.dedup import stream_dedup_documents
+
+    tmp = tempfile.mkdtemp(prefix="dedup_streaming_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 300).alias("ts"),
+        )
+        .write.mode("overwrite").parquet(inp)
+    )
+    stream_dedup_documents(spark, inp, outp, ckpt).awaitTermination()
+    return spark.read.parquet(outp).select("text_hash")
+
+
+def oracle_dedup_streaming_exact() -> str:
+    from .streaming.dedup import NULL_TEXT_SENTINEL
+
+    return f"""
+SELECT DISTINCT COALESCE(md5(text), '{NULL_TEXT_SENTINEL}') AS text_hash
+FROM documents"""
+
+
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_ivf_topk through the ON-DISK partitioned index
     (ivf_write -> parquet partitionBy(cell_id) -> ivf_topk_indexed with
@@ -1644,6 +1681,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),
     "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
     "dedup_simhash_near": (q_dedup_simhash_near, oracle_dedup_simhash_near),
+    "dedup_streaming_exact": (q_dedup_streaming_exact, oracle_dedup_streaming_exact),
     "text_profile": (q_text_profile, oracle_text_profile),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),

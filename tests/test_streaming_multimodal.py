@@ -149,3 +149,54 @@ def test_watermark_bounds_state_and_drops_late(spark, tmp_path):
     assert got[("A", 10)] == 3, got
     # B's 12:00 window finalized once later turns pushed the watermark past it
     assert got[("B", 12)] == 1, got
+
+
+def test_stream_dedup_drops_duplicates_and_is_incremental(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches are dropped
+    (bounded watermark state), NULL text dedups as one group via the
+    sentinel key, and a resumed run over appended files emits only the
+    genuinely-new hashes (exactly-once + state restore)."""
+    from casualty_linking_spark.streaming.dedup import (
+        NULL_TEXT_SENTINEL,
+        stream_dedup_documents,
+    )
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base_ts = F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 60)
+    # 40 docs, 10 distinct texts, plus 2 NULL-text docs -> 11 groups
+    docs = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), (F.col("id") % 10).cast("string")).alias("text"),
+        )
+        .unionByName(
+            spark.createDataFrame([(100, None), (101, None)], "doc_id bigint, text string")
+        )
+        .select("doc_id", "text", base_ts.alias("ts"))
+    )
+    # several files so dedup must hold state ACROSS micro-batches
+    docs.repartition(6).write.parquet(inp)
+    stream_dedup_documents(spark, inp, outp, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(outp)
+    assert got.count() == 11
+    assert got.select("text_hash").distinct().count() == 11
+    assert got.filter(F.col("text_hash") == NULL_TEXT_SENTINEL).count() == 1
+
+    # append: 3 dups of existing texts + 4 new texts, all within watermark
+    extra = (
+        spark.range(200, 207)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 203, F.concat(F.lit("text-"), (F.col("id") % 10).cast("string")))
+            .otherwise(F.concat(F.lit("new-"), F.col("id").cast("string")))
+            .alias("text"),
+        )
+        .select("doc_id", "text", base_ts.alias("ts"))
+    )
+    extra.write.mode("append").parquet(inp)
+    stream_dedup_documents(spark, inp, outp, ckpt).awaitTermination(120)
+    got2 = spark.read.parquet(outp)
+    assert got2.count() == 15  # 11 + the 4 new texts only
+    assert got2.select("text_hash").distinct().count() == 15
