@@ -1561,6 +1561,71 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 custom stateful streaming (applyInPandasWithState) under the
+    batch oracle: transcripts replayed as a file stream are sessionized —
+    one row per conversation, emitted exactly once on event-time timeout,
+    with whole-conversation features incl. an arrival-order-independent
+    text fingerprint. Late 'clock' conversations push the watermark past
+    every real session's quiet-period timeout (two pushes: a micro-batch
+    evaluates timeouts against the PREVIOUS batch's watermark); the clock
+    rows are filtered from the result. Oracle = the same session features
+    computed relationally over the static table: incremental state fold ==
+    batch aggregation, per conversation, hash-exact."""
+    import tempfile
+
+    from .streaming.ingest import read_transcripts_stream
+    from .streaming.sessionize import sessionize_conversations
+
+    tmp = tempfile.mkdtemp(prefix="kg_sessions_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    t.write.mode("overwrite").parquet(inp)
+    max_ts = t.agg(F.max("ts")).first()[0]
+
+    def clock(tag: str, offset_s: int) -> None:
+        spark.createDataFrame(
+            [(f"zz_clock_{tag}", 0, "user", "tick", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn(
+            "ts", F.lit(max_ts) + F.make_interval(secs=F.lit(offset_s))
+        ).write.mode("append").parquet(inp)
+
+    def run_once() -> None:
+        q = (
+            sessionize_conversations(
+                read_transcripts_stream(spark, inp), watermark="10 seconds", gap_ms=30_000
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    clock("a", 3600)
+    run_once()
+    clock("b", 7200)
+    run_once()
+    return spark.read.parquet(outp).filter(~F.col("conv_id").startswith("zz_clock"))
+
+
+def oracle_kg_streaming_sessions() -> str:
+    idx_hash = "lpad(CAST(turn_idx AS VARCHAR), 8, '0') || ':' || md5(COALESCE(text, ''))"
+    return synth.oracle_prelude() + f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       min(turn_idx) AS min_turn_idx,
+       max(turn_idx) AS max_turn_idx,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+       md5(string_agg({idx_hash}, '|' ORDER BY {idx_hash})) AS text_fingerprint
+FROM transcripts
+GROUP BY conv_id"""
+
+
 def q_dedup_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 streaming dedup under the batch oracle: the documents table is
     replayed as a file stream with a deterministic event time, deduped
@@ -1682,6 +1747,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
     "dedup_simhash_near": (q_dedup_simhash_near, oracle_dedup_simhash_near),
     "dedup_streaming_exact": (q_dedup_streaming_exact, oracle_dedup_streaming_exact),
+    "kg_streaming_sessions": (q_kg_streaming_sessions, oracle_kg_streaming_sessions),
     "text_profile": (q_text_profile, oracle_text_profile),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
