@@ -628,6 +628,40 @@ def q_property_path_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_property_path_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same P70 / ^P143 / P144 walk as kg_property_path_units, but
+    executed over the bucketed SPO/OPS triples store (storage.py): the graph
+    is written once as subj- and obj-bucketed tables, then the person hop
+    joins two OPS scans (obj-obj, both sides pre-partitioned -> no Exchange
+    on either side) and the event hop picks up the SPO scan shuffle-free on
+    the base-table side. Same oracle as the in-memory path — the store is a
+    physical re-layout of the identical graph, so a mis-bucketed write or a
+    wrong projection choice fails the hash check."""
+    import tempfile
+    import uuid
+
+    from . import storage
+
+    gen = _gen_base(spark, sf_dir)
+    triples = union_graphs(gen["documents_links"], gen["joinings"])
+    name = f"kgstore_{uuid.uuid4().hex[:8]}"
+    storage.write_triples_store(triples, tempfile.mkdtemp(prefix="kgstore_"), name)
+    o = storage.ops(spark, name)
+    doc = o.filter(F.col("pred") == NS.CRM + "P70_documents").select(
+        F.col("subj").alias("casualty"), F.col("obj").alias("person")
+    )
+    joined = o.filter(F.col("pred") == NS.CRM + "P143_joined").select(
+        F.col("subj").alias("event"), F.col("obj").alias("person")
+    )
+    with_unit = storage.spo(spark, name).filter(
+        F.col("pred") == NS.CRM + "P144_joined_with"
+    ).select(F.col("subj").alias("event"), F.col("obj").alias("unit"))
+    return (
+        doc.join(joined, "person").join(with_unit, "event")
+        .select("casualty", "unit").distinct()
+    )
+
+
 def oracle_property_path_units() -> str:
     """The path collapses to 'casualty has >=1 unit link' — the independent
     SQL recomputation reuses the unit-link CTEs."""
@@ -1730,6 +1764,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_schema_graph": (q_schema_graph, oracle_schema_graph),
     "kg_unit_label_concat": (q_unit_label_concat, oracle_unit_label_concat),
     "kg_property_path_units": (q_property_path_units, oracle_property_path_units),
+    "kg_path_bucketed": (q_property_path_bucketed, oracle_property_path_units),
     "kg_person_features": (q_person_features, oracle_person_features),
     "kg_link_persons": (q_link_persons, oracle_link_persons),
     "kg_connected_components": (q_connected_components, oracle_connected_components),
