@@ -131,12 +131,24 @@ def lsh_bands(documents: DataFrame, n_hashes: int = N_HASHES, band_size: int = B
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one band."""
+    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one band.
+
+    The band self-join is forced to a shuffled hash join: both sides then
+    canonicalize to the identical subtree (scan -> shingle explode -> 12-way
+    min agg -> band projection -> Exchange on band key), so exchange reuse
+    (static ReuseExchange, or AQE's runtime stage reuse) computes the
+    expensive signature build ONCE. Left to the planner at toy scale, the
+    small side goes under a BroadcastExchange, which is NOT structurally
+    shared with the streamed side — the signature aggregation and the
+    document scan both execute twice (measured: 2 FileScans). The extra
+    shuffle moves only post-agg rows (n_bands per doc), negligible at any
+    scale, and at 100 TB a self-join of the band table would never have
+    been broadcast-able anyway."""
     b = lsh_bands(documents)
     a = b.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     c = b.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
-        a.join(c, ["band_idx", "band_key"])
+        a.join(c.hint("shuffle_hash"), ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
