@@ -61,7 +61,14 @@ def write_triples_store(
         if spark.catalog.tableExists(tbl):
             spark.sql(f"DROP TABLE {tbl}")
         (
-            triples.write.mode("overwrite")
+            # repartition on the bucket key with the bucket count (same
+            # Murmur3 hash the bucketing uses) so each write task holds
+            # exactly one bucket's rows -> ONE file per bucket. That is the
+            # compacted layout under which Spark's bucketed scan reports a
+            # sort order, so sort-merge self-joins skip the Sort as well as
+            # the Exchange. The shuffle is the write-once bucketing cost.
+            triples.repartition(n_buckets, key)
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(n_buckets, key)
             .sortBy(key)
@@ -70,13 +77,25 @@ def write_triples_store(
         )
 
 
+def _sorted_scan(spark: SparkSession) -> None:
+    # Spark >= 3.0 hides the bucketed scan's sortBy order unless this flag is
+    # on (multi-file buckets would need a merged sorted read). Our writer
+    # guarantees ONE file per bucket (repartition-by-bucket-key compaction),
+    # so reporting the order is free and lets sort-merge self-joins drop the
+    # Sort node as well as the Exchange. Correctness is unaffected either
+    # way — with multi-file buckets Spark falls back to a merged sorted read.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+
 def spo(spark: SparkSession, name: str) -> DataFrame:
     """Scan of the subj-bucketed projection (join this on ``subj``)."""
+    _sorted_scan(spark)
     return spark.table(_table(name, "spo"))
 
 
 def ops(spark: SparkSession, name: str) -> DataFrame:
     """Scan of the obj-bucketed projection (join this on ``obj``)."""
+    _sorted_scan(spark)
     return spark.table(_table(name, "ops"))
 
 

@@ -66,6 +66,9 @@ def test_subj_self_join_is_shuffle_free(spark, store):
         bucketed = a.join(b.hint("merge"), "subj")
         assert _exchanges(bucketed) == 0, _plan(bucketed)
         assert "SortMergeJoin" in _plan(bucketed)
+        # one file per bucket (compacted write) -> the bucketed scan reports
+        # its sortBy order and the merge join needs no Sort either
+        assert "Sort " not in _plan(bucketed), _plan(bucketed)
 
         ra = graph.filter(F.col("pred") != "x").select("subj", F.col("obj").alias("o1"))
         rb = graph.filter(F.col("pred") != "y").select("subj", F.col("obj").alias("o2"))
