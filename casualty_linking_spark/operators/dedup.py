@@ -341,3 +341,28 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
+
+
+def near_dup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, component) — transitive near-duplicate CLUSTERS, the step a
+    production dedup actually keys retention on: LSH surfaces pairs, but
+    "keep one per group" needs the connected components of the pair graph
+    (A~B, B~C must collapse to one cluster even when A~C was never a
+    candidate). Components come from the same large-star/small-star CC used
+    for person sameAs closures (O(log n) rounds at any diameter); docs with
+    no near-dup edge are their own singleton component via the join-back.
+    component = min doc_id of the cluster, so downstream "keep the
+    canonical" is a filter, not another aggregation."""
+    from .link_persons import connected_components
+
+    pairs = minhash_lsh_pairs(documents)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+        )
+    )

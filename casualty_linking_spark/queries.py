@@ -1315,6 +1315,43 @@ def oracle_dedup_minhash_lsh() -> str:
     return f"WITH {_SHINGLE_CTES}\nSELECT doc_a, doc_b FROM dpairs"
 
 
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir))
+
+
+_LP_ROUNDS = 8
+
+
+def oracle_dedup_near_clusters() -> str:
+    """Independent recomputation of the near-dup clusters: the same dpairs
+    CTEs, then min-label propagation UNROLLED to a fixed depth (the earlier
+    WITH RECURSIVE CC oracle was dropped after DuckDB's parallel recursive
+    CTE showed run-to-run nondeterminism — see oracle_connected_components).
+    One round propagates the min one hop, so _LP_ROUNDS=8 is exact for any
+    component whose eccentricity from its min vertex is <= 8; LSH dup groups
+    are near-cliques (diameter 1-2). If a deeper chain ever appeared, the
+    oracle would be WRONG and the hash check fails loudly — never silently.
+    The Spark side runs the real large-star/small-star CC, depth-unbounded."""
+    parts = [
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM dpairs"
+        " UNION ALL SELECT doc_b, doc_a FROM dpairs)",
+        "lp0 AS (SELECT doc_id AS v, doc_id AS c FROM documents)",
+    ]
+    for k in range(1, _LP_ROUNDS + 1):
+        parts.append(
+            f"lp{k} AS (SELECT l.v, least(l.c, coalesce(min(n.c), l.c)) AS c\n"
+            f"  FROM lp{k - 1} l LEFT JOIN e ON l.v = e.a"
+            f" LEFT JOIN lp{k - 1} n ON e.b = n.v\n"
+            f"  GROUP BY l.v, l.c)"
+        )
+    return (
+        f"WITH {_SHINGLE_CTES},\n" + ",\n".join(parts)
+        + f"\nSELECT v AS doc_id, c AS component FROM lp{_LP_ROUNDS}"
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
@@ -1778,6 +1815,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_documents_links": (q_documents_links, oracle_documents_links),
     "dedup_exact": (q_dedup_exact, oracle_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_dedup_minhash_lsh),
+    "dedup_near_clusters": (q_dedup_near_clusters, oracle_dedup_near_clusters),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, oracle_dedup_ngram_jaccard),
     "dedup_simhash": (q_dedup_simhash, oracle_dedup_simhash),
     "dedup_simhash_near": (q_dedup_simhash_near, oracle_dedup_simhash_near),

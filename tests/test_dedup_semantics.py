@@ -247,3 +247,26 @@ def test_ivf_kmeans_beats_uniform_floor_on_clustered_corpus(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"clustered-corpus recall@5 at n_probe=2 was {recall}"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even if A~C never surfaced as an
+    LSH pair; untouched docs stay singleton components of themselves."""
+    from casualty_linking_spark.operators.dedup import near_dup_clusters
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    chain_b = base.filter("doc_id = 0").withColumn("doc_id", F.lit(3000)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" b"))
+    )
+    chain_c = base.filter("doc_id = 0").withColumn("doc_id", F.lit(3001)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" b c"))
+    )
+    d = base.unionByName(chain_b).unionByName(chain_c)
+    comp = {r.doc_id: r.component for r in near_dup_clusters(d).collect()}
+    assert len(comp) == 22
+    assert comp[0] == comp[3000] == comp[3001] == 0
+    # docs 8 and 12 are organically near-dup in the sf0.001 corpus (their
+    # LSH pair also appears in dedup_minhash_lsh's oracle-checked output)
+    assert comp[12] == comp[8] == 8
+    untouched = [i for i in comp if i not in (0, 3000, 3001, 8, 12)]
+    assert all(comp[i] == i for i in untouched)
