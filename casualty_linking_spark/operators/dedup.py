@@ -301,7 +301,10 @@ def simhash_near_dup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_key"
     )
     cands = (
-        a.join(b, ["band_idx", "band_key"])
+        # shuffle-hash (not the planner's broadcast) so the 65-agg
+        # fingerprint build below both sides is exchange-reused, not
+        # computed twice — same rationale as minhash_lsh_pairs
+        a.join(b.hint("shuffle_hash"), ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()
@@ -328,14 +331,21 @@ def embedding_near_dup_pairs(
     e = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    keyed = None
-    for t in range(N_TABLES):
-        part = e.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t).alias("bucket"))
-        keyed = part if keyed is None else keyed.unionByName(part)
+    # one scan, all tables: explode the per-table key array instead of a
+    # per-table union (which re-scanned the embeddings once per table per
+    # join side — keys are "t{table}:"-prefixed so the row multiset is
+    # identical); shuffle-hash forces both join sides to the same
+    # canonical subtree so exchange reuse keys the corpus ONCE
+    keyed = e.select(
+        "vec_id", "v",
+        F.explode(
+            F.array(*[lsh_bucket_key(F.col("v"), dim, t) for t in range(N_TABLES)])
+        ).alias("bucket"),
+    )
     a = keyed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     pairs = (
-        a.join(b, "bucket")
+        a.join(b.hint("shuffle_hash"), "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
