@@ -129,11 +129,17 @@ def lsh_topk(
         raise ValueError(f"probe_bits must be 0, 1 or 2 (got {probe_bits})")
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     q = queries.select("query_id", _as_double(F.col("qv")).alias("qv"))
-    c_parts, q_parts = [], []
+    # ONE corpus scan for all tables: explode the per-table key array (keys
+    # are "t{table}:"-prefixed, so the keyed-row multiset is identical to
+    # the previous per-table union, which re-read the corpus n_tables times)
+    c_all = corpus.select(
+        "vec_id", "v",
+        F.explode(
+            F.array(*[lsh_bucket_key(F.col("v"), dim, t, n_planes) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    q_parts = []
     for t in range(n_tables):
-        c_parts.append(
-            corpus.select("vec_id", "v", lsh_bucket_key(F.col("v"), dim, t, n_planes).alias("bucket"))
-        )
         if probe_bits > 0:
             q_parts.append(
                 q.select(
@@ -145,9 +151,6 @@ def lsh_topk(
             q_parts.append(
                 q.select("query_id", "qv", lsh_bucket_key(F.col("qv"), dim, t, n_planes).alias("bucket"))
             )
-    c_all = c_parts[0]
-    for p in c_parts[1:]:
-        c_all = c_all.unionByName(p)
     q_all = q_parts[0]
     for p in q_parts[1:]:
         q_all = q_all.unionByName(p)
