@@ -138,22 +138,19 @@ def lsh_topk(
             F.array(*[lsh_bucket_key(F.col("v"), dim, t, n_planes) for t in range(n_tables)])
         ).alias("bucket"),
     )
-    q_parts = []
-    for t in range(n_tables):
-        if probe_bits > 0:
-            q_parts.append(
-                q.select(
-                    "query_id", "qv",
-                    F.explode(lsh_probe_keys(F.col("qv"), dim, t, n_planes, probe_bits)).alias("bucket"),
-                )
-            )
-        else:
-            q_parts.append(
-                q.select("query_id", "qv", lsh_bucket_key(F.col("qv"), dim, t, n_planes).alias("bucket"))
-            )
-    q_all = q_parts[0]
-    for p in q_parts[1:]:
-        q_all = q_all.unionByName(p)
+    # query side likewise: one scan, per-table key arrays concatenated then
+    # exploded (probe expansion stays query-side only)
+    if probe_bits > 0:
+        key_arrays = [
+            lsh_probe_keys(F.col("qv"), dim, t, n_planes, probe_bits) for t in range(n_tables)
+        ]
+    else:
+        key_arrays = [
+            F.array(lsh_bucket_key(F.col("qv"), dim, t, n_planes)) for t in range(n_tables)
+        ]
+    q_all = q.select(
+        "query_id", "qv", F.explode(F.concat(*key_arrays)).alias("bucket")
+    )
 
     cands = c_all.join(F.broadcast(q_all.select("query_id", "qv", "bucket")), "bucket").dropDuplicates(
         ["query_id", "vec_id"]

@@ -100,3 +100,41 @@ def test_dedup_grouping_skew_safe_no_window(spark):
         plan = _plan(df)
         assert "Window" not in plan, plan
         assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_single_scan_candidate_generation(spark):
+    """The LSH/banded self-join family must key its corpus with ONE scan:
+    the per-table-union / planner-broadcast shapes re-scanned (and re-ran
+    the expensive fingerprint aggregations) once per join side per table.
+    Regression guard for the exchange-reuse join hints (AQE off so the
+    static plan shows ReusedExchange)."""
+    from casualty_linking_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+    from casualty_linking_spark.operators.similarity_search import lsh_topk
+
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = embs.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        cases = {
+            "minhash_pairs": minhash_lsh_pairs(docs),
+            "simhash_near": simhash_near_dup_pairs(docs),
+            "emb_near": embedding_near_dup_pairs(embs, threshold=0.2),
+        }
+        for name, df in cases.items():
+            plan = _plan(df)
+            assert plan.count("FileScan") == 1, (name, plan)
+            assert "ReusedExchange" in plan, (name, plan)
+        # lsh_topk: one corpus scan; the query side (also from embeddings
+        # here) scans once more and is broadcast
+        plan = _plan(lsh_topk(embs, q, dim=64))
+        assert plan.count("FileScan") <= 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
