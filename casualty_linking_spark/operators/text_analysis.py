@@ -100,3 +100,34 @@ def document_profile(documents: DataFrame) -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint_sorted_words(t).alias("fingerprint"),
     )
+
+
+# PII scrubbing — the redaction pass a training-data pipeline runs before
+# anything else sees the text. Patterns are deliberately RE2-compatible
+# (no backreferences/lookaround) so the DuckDB oracle applies the IDENTICAL
+# strings; replacement order is URL -> email -> phone so a URL's digits
+# can't be re-matched as a phone.
+PII_URL_RE = r"https?://[^\s]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs/emails/phone-shaped spans with typed placeholder tokens.
+    All-JVM regexp_replace (replaces every occurrence), no UDF."""
+    r = F.regexp_replace(text, PII_URL_RE, "<URL>")
+    r = F.regexp_replace(r, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(r, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_profile(documents: DataFrame) -> DataFrame:
+    """(doc_id, redacted, n_url, n_email, n_phone) — counts measured on the
+    ORIGINAL text, redaction applied in the canonical order."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        redact_pii(t).alias("redacted"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_url"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
+    )

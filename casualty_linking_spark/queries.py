@@ -1446,6 +1446,58 @@ sham AS (
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM sham WHERE hamming <= 3"""
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + counts. The synthetic corpus carries no PII, so the
+    query plants it deterministically by doc_id rule (emails on id%5==0,
+    URLs on id%7==0, phones on id%11==0) — the SAME injection is rendered
+    in the oracle SQL, so the hash check exercises the actual redaction
+    regexes on both engines, not an all-zero corpus."""
+    from .operators.text_analysis import pii_profile
+
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact u"), sid, F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" see https://ex.org/d/"), sid),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(t, F.lit(" call +358 40 123-45"), F.lpad(sid, 2, "0")),
+    ).otherwise(t)
+    return pii_profile(d.select("doc_id", t.alias("text")))
+
+
+def oracle_text_redact() -> str:
+    from .operators.text_analysis import PII_EMAIL_RE, PII_PHONE_RE, PII_URL_RE
+
+    # DuckDB string literals treat backslash literally — only quotes need
+    # escaping (none of these patterns contain quotes, kept for safety)
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    u, e, p = q(PII_URL_RE), q(PII_EMAIL_RE), q(PII_PHONE_RE)
+    return f"""WITH injected AS (
+  SELECT doc_id,
+    concat(text,
+      CASE WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' call +358 40 123-45' || lpad(CAST(doc_id AS VARCHAR), 2, '0') ELSE '' END
+    ) AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{u}', '<URL>', 'g'), '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g') AS redacted,
+  len(regexp_extract_all(text, '{u}')) AS n_url,
+  len(regexp_extract_all(text, '{e}')) AS n_email,
+  len(regexp_extract_all(text, '{p}')) AS n_phone
+FROM injected"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import document_profile
 
@@ -1826,6 +1878,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_streaming_exact": (q_dedup_streaming_exact, oracle_dedup_streaming_exact),
     "kg_streaming_sessions": (q_kg_streaming_sessions, oracle_kg_streaming_sessions),
     "text_profile": (q_text_profile, oracle_text_profile),
+    "text_redact": (q_text_redact, oracle_text_redact),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, oracle_ann_lsh_multiprobe),
