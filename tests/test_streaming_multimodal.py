@@ -200,3 +200,67 @@ def test_stream_dedup_drops_duplicates_and_is_incremental(spark, tmp_path):
     got2 = spark.read.parquet(outp)
     assert got2.count() == 15  # 11 + the 4 new texts only
     assert got2.select("text_hash").distinct().count() == 15
+
+
+def _make_ppm(w, h, rgb):
+    body = bytes(rgb) * (w * h)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + body
+
+
+def _make_bmp(w, h, bgr):
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    raster = (bytes(bgr) * w + b"\x00" * (stride - w * 3)) * h
+    pixel_offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pixel_offset + len(raster), 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + raster
+
+
+def test_real_decode_ppm_bmp_roundtrip():
+    """Pure-numpy decode of the two lib-free formats: known pixel values,
+    dimensions, BGR->RGB order, bottom-up flip, row padding."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        resize_nearest,
+    )
+
+    ppm = decode_ppm(_make_ppm(3, 2, (10, 20, 30)))
+    assert ppm.shape == (2, 3, 3) and (ppm == [10, 20, 30]).all()
+    bmp = decode_bmp(_make_bmp(3, 2, (30, 20, 10)))  # BGR on disk
+    assert bmp.shape == (2, 3, 3) and (bmp == [10, 20, 30]).all()
+    th = resize_nearest(ppm, 2, 2)
+    assert th.shape == (2, 2, 3)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"x" * 16)
+    assert decode_image(b"garbage") is None
+
+
+def test_image_features_decodes_real_and_flags_fakes(spark):
+    """mapInPandas stage: real PPM payloads decode (exact mean_rgb), the
+    md5-derived fake payloads yield decoded=false rows, nothing throws."""
+    from casualty_linking_spark.operators.multimodal import image_features
+
+    rows = [
+        (1, "image", _make_ppm(4, 4, (100, 150, 200))),
+        (2, "image", _make_bmp(2, 2, (200, 150, 100))),
+        (3, "image", b"\x00\x01\x02not-an-image"),
+        (4, "audio", b"ignored"),
+    ]
+    media = spark.createDataFrame(
+        [(i, k, bytearray(p)) for i, k, p in rows],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(out) == {1, 2, 3}  # audio row filtered
+    assert out[1]["decoded"] and out[1]["width"] == 4
+    assert [round(x) for x in out[1]["mean_rgb"]] == [100, 150, 200]
+    assert out[2]["decoded"] and [round(x) for x in out[2]["mean_rgb"]] == [100, 150, 200]
+    assert not out[3]["decoded"] and out[3]["mean_rgb"] is None
