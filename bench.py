@@ -207,8 +207,32 @@ def run_scaling(n_records: int = SCALE_RECORDS, n_lo: int = 8, n_hi: int = 32, t
     }
 
 
+def run_contract_timings(sf_dir: str = "/root/testdata/sf0.01", cores: int = 8) -> dict:
+    """Diagnostic: wall per contract query at the driver's correctness SF —
+    catches a pathological query/oracle before the driver's gate does."""
+    from casualty_linking_spark.queries import QUERIES
+    from casualty_linking_spark.session import get_spark
+
+    spark = get_spark(app_name="contract_timing", cores=cores, shuffle_partitions=cores)
+    times: dict[str, float] = {}
+    for name, (fn, _oracle) in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 1)
+    spark.stop()
+    return {
+        "metric": "contract_query_walls",
+        "unit": "sec",
+        "value": round(sum(times.values()), 1),
+        "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+        "host_before": _host_health(),
+    }
+
+
 if __name__ == "__main__":
-    if "--scale-one" in sys.argv:
+    if "--contract" in sys.argv:
+        print(json.dumps(run_contract_timings()))
+    elif "--scale-one" in sys.argv:
         i = sys.argv.index("--scale-one")
         print(json.dumps(run_scale_job(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
     elif "--scaling" in sys.argv:
