@@ -85,6 +85,14 @@ def _sorted_scan(spark: SparkSession) -> None:
     # Sort node as well as the Exchange. Correctness is unaffected either
     # way — with multi-file buckets Spark falls back to a merged sorted read.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # Keep the scan bucketed even when no join consumes the partitioning:
+    # autoBucketedScan would silently fall back to a plain file scan, which
+    # also drops BUCKET PRUNING — with it pinned, a point lookup on the
+    # bucket column (obj = <uri> on _ops, subj = <uri> on _spo) reads
+    # SelectedBucketsCount: 1 out of n (plan-asserted in the tests). The
+    # store's access patterns are exactly joins + point lookups, so the
+    # fallback has nothing to offer here.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 
 
 def spo(spark: SparkSession, name: str) -> DataFrame:

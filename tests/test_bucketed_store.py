@@ -102,3 +102,19 @@ def test_path_over_store_matches_in_memory(spark):
     stored = queries.q_property_path_bucketed(spark, sf)
     assert stored.exceptAll(mem).count() == 0
     assert mem.exceptAll(stored).count() == 0
+
+
+def test_point_lookup_prunes_buckets(spark, store):
+    """The SPARQL point-lookup idioms (graph[:pred:obj] / graph.value) over
+    the store read ONE bucket of n, not the table: equality on the bucket
+    column prunes at plan time (SelectedBucketsCount in the scan)."""
+    import re
+
+    graph, name = store
+    some_subj = graph.select("subj").first()["subj"]
+    q = storage.spo(spark, name).filter(F.col("subj") == some_subj)
+    plan = _plan(q)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) == 1 and int(m.group(2)) == storage.DEFAULT_BUCKETS
+    assert q.count() >= 1
