@@ -298,6 +298,24 @@ def ivf_write(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append(embeddings: DataFrame, path: str) -> None:
+    """Incrementally add vectors to an existing on-disk IVF index: assign
+    against the index's OWN persisted quantizer (never a recomputed one —
+    cell geometry must stay frozen or old cells silently mean something
+    else) and append into the matching cell directories with dynamic
+    partition overwrite semantics turned OFF (mode=append touches only the
+    new files). A 100 TB ingest runs this per arriving batch; queries see
+    the union immediately because :func:`ivf_topk_indexed` reads whatever
+    the probed directories contain. Rebalancing (centroid drift after many
+    appends) is an explicit :func:`ivf_write` rebuild, not an implicit
+    side effect."""
+    spark = embeddings.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    assigned = _assign_cells(corpus, "vec_id", "v", cents, n_keep=1)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
+
+
 def ivf_topk_indexed(
     spark, path: str, queries: DataFrame, k: int = 5, n_probe: int = N_IVF_PROBE,
 ) -> DataFrame:

@@ -173,3 +173,26 @@ def test_contract_query_matches_plain_ivf(spark):
     got = _rows(q_ann_ivf_indexed(spark, SF))
     want = _rows(q_ann_ivf_topk(spark, SF))
     assert got == want and len(got) > 0
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance: write half the corpus, append the rest
+    against the index's persisted quantizer — queries over the appended
+    index match a one-shot build with the same centroids exactly."""
+    from casualty_linking_spark.operators.similarity_search import ivf_append
+
+    embs = _embs(spark)
+    cents = ivf_seed_centroids(embs)
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    ivf_write(embs, full_path, centroids=cents)
+    ivf_write(half_a, incr_path, centroids=cents)
+    ivf_append(half_b, incr_path)
+
+    q = _queries(spark)
+    assert _rows(ivf_topk_indexed(spark, incr_path, q)) == _rows(
+        ivf_topk_indexed(spark, full_path, q)
+    )
