@@ -214,3 +214,18 @@ def subjects_by_po(graph: DataFrame, pred: str, obj: str) -> DataFrame:
 def objects_of(graph: DataFrame, pred: str) -> DataFrame:
     """graph.objects(None, pred) — (subj, obj) pairs for a predicate."""
     return graph.filter(F.col("pred") == pred).select("subj", "obj")
+
+
+def graph_diff(new: DataFrame, old: DataFrame) -> DataFrame:
+    """Triple-level diff between two graph versions: rows of ``new`` absent
+    from ``old`` tagged op='added', rows of ``old`` absent from ``new``
+    tagged op='removed'. Identity is the (subj, pred, obj) set — the same
+    set semantics every union in this module enforces — so annotation-only
+    rows never spuriously diff. The audit counterpart of the curated-
+    additions merge (reference process.sh:17): what did this batch's edit
+    actually change? Both sides are anti-joins on the triple key — fully
+    distributed, no collect, AQE-splittable."""
+    key = ["subj", "pred", "obj"]
+    added = new.join(old.select(key), key, "left_anti").withColumn("op", F.lit("added"))
+    removed = old.join(new.select(key), key, "left_anti").withColumn("op", F.lit("removed"))
+    return added.unionByName(removed)

@@ -421,6 +421,41 @@ def q_triples_casualties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff of a simulated curation batch: the edited graph drops all
+    rank_literal triples and stamps a cas:diff_checked marker per record
+    subject; graph_diff against the original must report exactly those
+    triples as removed / the markers as added."""
+    from .operators.triples import graph_diff, remove_pattern
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark)).select(
+        "subj", "pred", "obj", "obj_type", "datatype"
+    )
+    markers = g.select("subj").distinct().select(
+        "subj",
+        F.lit(NS.cas("diff_checked")).alias("pred"),
+        F.lit("true").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    edited = remove_pattern(g, pred=NS.cas("rank_literal")).unionByName(markers)
+    return graph_diff(edited, g).select("op", "subj", "pred", "obj", "obj_type", "datatype")
+
+
+def oracle_graph_diff() -> str:
+    base = oracle_triples_casualties()
+    rank_pred = NS.cas("rank_literal")
+    marker_pred = NS.cas("diff_checked")
+    return f"""WITH cas AS MATERIALIZED ({base})
+SELECT 'added' AS op, subj, '{marker_pred}' AS pred, 'true' AS obj,
+       'literal' AS obj_type, CAST(NULL AS VARCHAR) AS datatype
+FROM (SELECT DISTINCT subj FROM cas)
+UNION ALL
+SELECT 'removed' AS op, subj, pred, obj, obj_type, datatype
+FROM cas WHERE pred = '{rank_pred}'"""
+
+
 def oracle_triples_casualties() -> str:
     """Expected unpivot: one SELECT per property (wide->long), the graveyard
     URI construction + existence semi-join, and the type triple."""
@@ -1858,6 +1893,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_unit_label_concat": (q_unit_label_concat, oracle_unit_label_concat),
     "kg_property_path_units": (q_property_path_units, oracle_property_path_units),
     "kg_path_bucketed": (q_property_path_bucketed, oracle_property_path_units),
+    "kg_graph_diff": (q_graph_diff, oracle_graph_diff),
     "kg_person_features": (q_person_features, oracle_person_features),
     "kg_link_persons": (q_link_persons, oracle_link_persons),
     "kg_connected_components": (q_connected_components, oracle_connected_components),
