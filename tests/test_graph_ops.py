@@ -121,3 +121,22 @@ def test_cc_star_two_cliques_bridge(spark):
     k1 = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
     k2 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
     _cc_check(spark, k1 + k2 + [("a4", "b0")])
+
+
+def test_graph_diff_properties(spark):
+    """diff(a, a) is empty; swapping arguments swaps added<->removed."""
+    from casualty_linking_spark.operators.triples import graph_diff
+
+    a = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3")],
+        "subj string, pred string, obj string",
+    )
+    b = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s4", "p", "o4")],
+        "subj string, pred string, obj string",
+    )
+    assert graph_diff(a, a).count() == 0
+    d1 = {(r.op, r.subj) for r in graph_diff(a, b).collect()}
+    assert d1 == {("added", "s2"), ("added", "s3"), ("removed", "s4")}
+    d2 = {(r.op, r.subj) for r in graph_diff(b, a).collect()}
+    assert d2 == {("removed", "s2"), ("removed", "s3"), ("added", "s4")}
