@@ -229,8 +229,58 @@ def run_contract_timings(sf_dir: str = "/root/testdata/sf0.01", cores: int = 8) 
     }
 
 
+def run_shuffle_audit(sf_dir: str = SF_DIR, cores: int = 8) -> dict:
+    """Measured shuffle bytes per headline query (UI REST store): the
+    quantitative form of the 'broadcast-only linking, minimal shuffle'
+    claim. A 100 TB plan lives or dies on shuffle-to-input ratio."""
+    import urllib.request
+
+    from casualty_linking_spark import queries as Q
+    from casualty_linking_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="shuffle_audit", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    def snap() -> tuple[int, int, int]:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        ) as r:
+            ss = json.load(r)
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in ss),
+            sum(s.get("shuffleReadBytes", 0) for s in ss),
+            sum(s.get("inputBytes", 0) for s in ss),
+        )
+
+    audit: dict[str, dict] = {}
+    prev = (0, 0, 0)
+    names = ["dedup_minhash_lsh", "dedup_simhash", "kg_link_persons", "dedup_exact"]
+    jobs = [("kg_pipeline", lambda: Q.flagship(spark, sf_dir))] + [
+        (n, (lambda n=n: Q.QUERIES[n][0](spark, sf_dir))) for n in names
+    ]
+    for name, fn in jobs:
+        fn().count()
+        time.sleep(2)  # let the status store settle
+        cur = snap()
+        d = tuple(c - p for c, p in zip(cur, prev))
+        prev = cur
+        audit[name] = {
+            "shuffle_write_mb": round(d[0] / 1e6, 2),
+            "shuffle_read_mb": round(d[1] / 1e6, 2),
+            "input_mb": round(d[2] / 1e6, 2),
+        }
+    spark.stop()
+    return {"metric": "shuffle_bytes_per_query", "sf": _sf_label(sf_dir), "queries": audit}
+
+
 if __name__ == "__main__":
-    if "--contract" in sys.argv:
+    if "--shuffle-audit" in sys.argv:
+        print(json.dumps(run_shuffle_audit()))
+    elif "--contract" in sys.argv:
         print(json.dumps(run_contract_timings()))
     elif "--scale-one" in sys.argv:
         i = sys.argv.index("--scale-one")
