@@ -1,0 +1,88 @@
+"""Event-stream analytics over the ``events`` table (event_id, ts, user_id,
+event_type, value, props-JSON) — the hypertable-rollup / sessionization
+idioms a telemetry pipeline runs, expressed as window aggregations.
+
+Determinism across engines: the money column (``sum_value``) is summed as
+DECIMAL(18,3), not double — floating-point summation order differs between
+a shuffled Spark agg and DuckDB's serial fold, and a knife-edge double sum
+would flap the oracle hash; decimal addition is exact and order-free (the final cast back to double is then bit-identical in both engines).
+JSON extraction (``props -> k``) uses the engines' native JSON functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window x event_type: count, exact decimal value sum,
+    JSON-extracted k sum. Window start is epoch-aligned (matches DuckDB's
+    time_bucket). Map-side combinable single shuffle."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Gap-based session windows per user (session_window): a session is a
+    maximal run of events with inter-event gaps < ``gap``; end = last event
+    + gap (Spark's session_window contract, mirrored by the oracle's
+    gaps-and-islands SQL). The native operator replaces the O(n^2) self-join
+    a naive sessionizer would do; state is per (user, open-session) in
+    streaming use."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_hourly_rollup(
+    spark, input_dir: str, checkpoint_dir: str, query_name: str,
+    watermark: str = "2 hours",
+):
+    """Streaming face of :func:`hourly_rollup`: file-source stream with a
+    watermark on ts, same windowed agg, complete-mode memory sink (an
+    availableNow run emits every window; the watermark bounds state during
+    continuous operation). Returns the started query; caller awaits and
+    reads ``spark.table(query_name)``."""
+    from ..schema import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

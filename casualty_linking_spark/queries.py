@@ -1295,6 +1295,69 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import hourly_rollup
+
+    return hourly_rollup(_events(spark, sf_dir))
+
+
+def oracle_events_rollup() -> str:
+    return """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import user_sessions
+
+    return user_sessions(_events(spark, sf_dir))
+
+
+def oracle_events_sessions() -> str:
+    """Gaps-and-islands recomputation of Spark's session_window contract:
+    break when the inter-event gap exceeds 6h, session end = last event +
+    gap."""
+    return """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid"""
+
+
+def q_events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup under the batch oracle: the events parquet is
+    re-landed as a file stream, a watermarked windowed agg runs availableNow
+    into a complete-mode memory sink, and the emitted table must equal the
+    batch SQL — incremental == batch for the stateful agg."""
+    import tempfile
+    import uuid
+
+    from .operators.events import stream_hourly_rollup
+
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(f"{tmp}/in")
+    qname = f"ev_rollup_{uuid.uuid4().hex[:8]}"
+    stream_hourly_rollup(spark, f"{tmp}/in", f"{tmp}/ckpt", qname).awaitTermination()
+    return spark.table(qname)
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1915,6 +1978,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_streaming_sessions": (q_kg_streaming_sessions, oracle_kg_streaming_sessions),
     "text_profile": (q_text_profile, oracle_text_profile),
     "text_redact": (q_text_redact, oracle_text_redact),
+    "events_rollup": (q_events_rollup, oracle_events_rollup),
+    "events_sessions": (q_events_sessions, oracle_events_sessions),
+    "events_streaming_rollup": (q_events_streaming_rollup, oracle_events_rollup),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, oracle_ann_lsh_multiprobe),

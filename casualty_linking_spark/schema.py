@@ -45,3 +45,15 @@ ERRORS_SCHEMA = T.StructType(
         T.StructField("value", T.StringType(), True),
     ]
 )
+
+# driver-supplied telemetry stream table (TESTDATA.md: events.parquet)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
