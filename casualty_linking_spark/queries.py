@@ -1332,6 +1332,54 @@ def q_olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_olap_regional_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5/Q9-shaped star join touching every remaining driver table
+    (lineitem ⋈ supplier ⋈ nation ⋈ region ⋈ part): revenue by region and
+    part brand. The three dimension chains (supplier→nation→region, part)
+    are broadcast; lineitem never shuffles before the final rollup — with
+    this, all 10 provided tables are exercised by oracle-checked queries."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") <= 20
+    )
+    dim = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def oracle_olap_regional_part_revenue() -> str:
+    return """
+SELECT r_name, p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+GROUP BY r_name, p_brand"""
+
+
 def oracle_olap_shipping_priority() -> str:
     return """
 SELECT l_orderkey,
@@ -2029,6 +2077,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_sessions": (q_events_sessions, oracle_events_sessions),
     "events_streaming_rollup": (q_events_streaming_rollup, oracle_events_rollup),
     "olap_shipping_priority": (q_olap_shipping_priority, oracle_olap_shipping_priority),
+    "olap_regional_part_revenue": (q_olap_regional_part_revenue, oracle_olap_regional_part_revenue),
     "ann_brute_topk": (q_ann_brute_topk, oracle_ann_brute_topk),
     "ann_lsh_topk": (q_ann_lsh_topk, oracle_ann_lsh_topk),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, oracle_ann_lsh_multiprobe),
