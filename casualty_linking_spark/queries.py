@@ -1299,6 +1299,34 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (median/p90) — Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` both implement type-7 linear interpolation at
+    index (n-1)*p, and the interpolation arithmetic is bit-identical on
+    doubles (verified empirically before this query landed), so the hash
+    check holds without rounding."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+            F.expr("percentile(value, 0.9)").alias("p90_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def oracle_events_percentiles() -> str:
+    return """
+SELECT event_type, count(*) AS n, min(value) AS min_value,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type"""
+
+
 def q_olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join over the driver's largest tables
     (customer ⋈ orders ⋈ lineitem): segment + date filters pushed to the
@@ -2075,6 +2103,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "text_redact": (q_text_redact, oracle_text_redact),
     "events_rollup": (q_events_rollup, oracle_events_rollup),
     "events_sessions": (q_events_sessions, oracle_events_sessions),
+    "events_percentiles": (q_events_percentiles, oracle_events_percentiles),
     "events_streaming_rollup": (q_events_streaming_rollup, oracle_events_rollup),
     "olap_shipping_priority": (q_olap_shipping_priority, oracle_olap_shipping_priority),
     "olap_regional_part_revenue": (q_olap_regional_part_revenue, oracle_olap_regional_part_revenue),
