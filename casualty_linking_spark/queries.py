@@ -1327,6 +1327,37 @@ SELECT event_type, count(*) AS n, min(value) AS min_value,
 FROM events GROUP BY event_type"""
 
 
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window analytics: row_number, lag delta, running
+    decimal sum (ordered fold — the same total order (ts, event_id) on both
+    engines makes even the running aggregate deterministic; the sum itself
+    is decimal so partial-order differences cannot arise at all)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.sum(F.col("value").cast("decimal(18,3)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def oracle_events_running() -> str:
+    return """
+SELECT user_id, event_id,
+       row_number() OVER w AS seq,
+       value - lag(value) OVER w AS delta_value,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 def q_olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join over the driver's largest tables
     (customer ⋈ orders ⋈ lineitem): segment + date filters pushed to the
@@ -2104,6 +2135,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_rollup": (q_events_rollup, oracle_events_rollup),
     "events_sessions": (q_events_sessions, oracle_events_sessions),
     "events_percentiles": (q_events_percentiles, oracle_events_percentiles),
+    "events_running": (q_events_running, oracle_events_running),
     "events_streaming_rollup": (q_events_streaming_rollup, oracle_events_rollup),
     "olap_shipping_priority": (q_olap_shipping_priority, oracle_olap_shipping_priority),
     "olap_regional_part_revenue": (q_olap_regional_part_revenue, oracle_olap_regional_part_revenue),
