@@ -264,3 +264,28 @@ def test_image_features_decodes_real_and_flags_fakes(spark):
     assert [round(x) for x in out[1]["mean_rgb"]] == [100, 150, 200]
     assert out[2]["decoded"] and [round(x) for x in out[2]["mean_rgb"]] == [100, 150, 200]
     assert not out[3]["decoded"] and out[3]["mean_rgb"] is None
+
+
+def test_decoder_roundtrip_property():
+    """Hypothesis: for arbitrary small dimensions and pixel colors, encode ->
+    decode is the identity for both lib-free formats (exercises row padding
+    across widths and the bottom-up flip across heights)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from casualty_linking_spark.operators.multimodal import decode_bmp, decode_ppm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        rgb=st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+    )
+    def check(w, h, rgb):
+        ppm = decode_ppm(_make_ppm(w, h, rgb))
+        assert ppm.shape == (h, w, 3) and (ppm == list(rgb)).all()
+        bmp = decode_bmp(_make_bmp(w, h, rgb[::-1]))
+        assert bmp.shape == (h, w, 3) and (bmp == list(rgb)).all()
+
+    check()
