@@ -56,10 +56,15 @@ def stream_hourly_rollup(
     watermark: str = "2 hours",
 ):
     """Streaming face of :func:`hourly_rollup`: file-source stream with a
-    watermark on ts, same windowed agg, complete-mode memory sink (an
-    availableNow run emits every window; the watermark bounds state during
-    continuous operation). Returns the started query; caller awaits and
-    reads ``spark.table(query_name)``."""
+    watermark on ts, same windowed agg, complete-mode memory sink so an
+    availableNow run emits every window for the batch-equality check.
+    NOTE: complete mode retains all window state — it is the ORACLE
+    harness shape, not the production one. A continuous deployment uses
+    outputMode("append") to a real sink, where the watermark finalizes and
+    evicts windows (exactly the shape streaming/ingest.stream_record_counts
+    runs and tests/test_streaming_multimodal.py's late-data test proves).
+    Returns the started query; caller awaits and reads
+    ``spark.table(query_name)``."""
     from ..schema import EVENTS_SCHEMA
 
     stream = (
