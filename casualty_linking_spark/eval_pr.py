@@ -1,0 +1,215 @@
+"""Link-quality evaluation: precision/recall of every fuzzy linker against
+the PLANTED ground truth of the deterministic synth.
+
+BASELINE.json's headline metric is "triple P/R >= 0.95 vs reference casualty
+links". Two complementary measurements cover it:
+
+* **vs reference semantics** — every linker's output is hash-equal to a
+  DuckDB re-implementation of the reference's rules at sf0.01 (the driver's
+  CORRECTNESS gate), i.e. P = R = 1.0 against what the reference would emit
+  on the same input, by exact set equality.
+* **vs planted entities** (this module) — the synth derives every record
+  from a known entity (``synth.py``: unit/rank/occupation index = pid mod
+  table size; true person actor = ``person_a{pid}`` for pid % 4 != 3) and
+  then dirties the literals with the reference's documented noise classes
+  (typos, 0-for-O, truncation, lowercase, missing cover numbers). This
+  module measures whether the pipeline RECOVERS the planted entity despite
+  the dirt — linking *quality*, not just rule fidelity — and breaks misses
+  down by dirt class so a regression points at the rule that caused it.
+
+Truth is computed as CASE-over-pid expressions (the exact inverse of the
+synth's planting rules, honoring its WHEN-order precedence), so the
+evaluation is fully distributed: one broadcast-free join per linker between
+predictions and truth, plus conditional aggregations for the per-class
+breakdown. No collects beyond the final scalar counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import namespaces as NS
+from . import synth
+from .dims import OCCUPATIONS, RANKS, UNITS
+
+
+def _case_over_pid(uris: list[str]) -> str:
+    return synth._case_over_mod("person_id", uris)
+
+
+def truth_rank_uri() -> str:
+    """Planted rank. Dirt classes 'Alipuseeri' (pid%41=19) and 'Alikers'
+    (pid%41=23) REPLACE the base literal (synth.py raw1), so their truth is
+    the entity the typo denotes (reference URI_MAPPINGS, src/process.py:24-25),
+    not RANKS[pid%18]."""
+    uris = [NS.RANKS_NS + slug for slug, *_ in RANKS]
+    ali_upseeri = NS.RANKS_NS + "Aliupseeri"
+    ali_kersantti = NS.RANKS_NS + "Alikersantti"
+    return (
+        f"CASE WHEN person_id % 41 = 19 THEN '{ali_upseeri}' "
+        f"WHEN person_id % 41 = 23 THEN '{ali_kersantti}' "
+        f"ELSE {_case_over_pid(uris)} END"
+    )
+
+
+def truth_unit_uri() -> str:
+    """Planted unit = UNITS[pid%20] (UNIT_LITERALS aligns with dims.UNITS),
+    except the long-company dirt class (pid%73=9) whose literal
+    '2. Komppania / JR 8' denotes unit_jr8_2k."""
+    uris = [NS.UNITS_NS + slug for slug, *_ in UNITS]
+    jr8_2k = NS.UNITS_NS + "unit_jr8_2k"
+    return f"CASE WHEN person_id % 73 = 9 THEN '{jr8_2k}' ELSE {_case_over_pid(uris)} END"
+
+
+def truth_occupation_uri() -> str:
+    """Planted occupation = OCCUPATIONS[pid%16]; the unknown-occupation class
+    ('insinöörioppilas', pid%67=5 when not shadowed by the dropped-char class
+    pid%61=4, which precedes it in the synth CASE) has NO true target —
+    emitting any link for it is a false positive."""
+    uris = [NS.OCCUPATIONS_NS + slug for slug, _ in OCCUPATIONS]
+    return (
+        f"CASE WHEN person_id % 61 = 4 THEN {_case_over_pid(uris)} "
+        f"WHEN person_id % 67 = 5 THEN NULL "
+        f"ELSE {_case_over_pid(uris)} END"
+    )
+
+
+def truth_actor_uri() -> str:
+    """True matching actor = person_a{pid} for pid%4 != 3 (synth.actors_sql);
+    the remaining quarter has only the decoy actor (same family block,
+    shifted dates) and must NOT link."""
+    return (
+        "CASE WHEN person_id % 4 != 3 "
+        "THEN concat('http://ldf.fi/warsa/actors/person_a', CAST(person_id AS STRING)) END"
+    )
+
+
+# Dirt-class labels per linker, honoring the synth CASE precedence so each
+# pid lands in exactly the class whose WHEN fired. 'clean' = no dirt touched
+# the fields this linker reads.
+_UNIT_CLASS = """
+CASE WHEN person_id % 73 = 9 THEN 'long_company_5gram'
+     WHEN person_id % 43 = 21 AND person_id % 3 = 0 THEN 'lowercase+no_cover'
+     WHEN person_id % 47 = 22 AND person_id % 3 = 0 THEN 'truncated+no_cover'
+     WHEN person_id % 43 = 21 THEN 'lowercase_literal'
+     WHEN person_id % 47 = 22 THEN 'truncated_literal'
+     WHEN person_id % 3 = 0 THEN 'no_cover_ngram_path'
+     WHEN person_id % 20 IN (13, 14, 18, 19) THEN 'coverless_unit'
+     ELSE 'clean' END
+"""
+
+_RANK_CLASS = """
+CASE WHEN person_id % 41 = 19 THEN 'alipuseeri_typo'
+     WHEN person_id % 41 = 23 THEN 'alikers_abbrev'
+     ELSE 'clean' END
+"""
+
+_OCC_CLASS = """
+CASE WHEN person_id % 61 = 4 THEN 'dropped_char'
+     WHEN person_id % 67 = 5 THEN 'unknown_occupation'
+     ELSE 'clean' END
+"""
+
+_PERSON_CLASS = """
+CASE WHEN person_id % 4 = 3 THEN 'decoy_only'
+     WHEN person_id % 31 = 7 THEN 'family_vowel_typo'
+     WHEN person_id % 11 = 2 THEN 'family_0_for_O'
+     WHEN person_id % 7 = 1 THEN 'family_prev_name'
+     WHEN person_id % 29 = 13 THEN 'family_pct_alt'
+     WHEN person_id % 19 = 7 THEN 'birth_unparseable'
+     WHEN person_id % 23 = 11 THEN 'death_invalid'
+     WHEN person_id % 17 = 3 THEN 'death_century_typo'
+     WHEN person_id % 13 = 5 THEN 'death_O_for_0'
+     ELSE 'clean' END
+"""
+
+TRUTH_EXPRS = {
+    "units": (truth_unit_uri, _UNIT_CLASS),
+    "ranks": (truth_rank_uri, _RANK_CLASS),
+    "occupations": (truth_occupation_uri, _OCC_CLASS),
+    "persons": (truth_actor_uri, _PERSON_CLASS),
+}
+
+
+def truth_frame(records: DataFrame, linker: str) -> DataFrame:
+    """(record_uri, true_obj nullable, dirt_class) for every record."""
+    uri_fn, class_sql = TRUTH_EXPRS[linker]
+    return records.select(
+        "record_uri",
+        F.expr(uri_fn()).alias("true_obj"),
+        F.expr(class_sql).alias("dirt_class"),
+    )
+
+
+def evaluate_linker(preds: DataFrame, truth: DataFrame) -> dict:
+    """preds: (subj, obj). truth: (record_uri, true_obj, dirt_class).
+
+    One full-outer join on record, then a single pass of conditional aggs.
+    tp = predicted obj equals planted obj; fp = prediction exists but differs
+    (or truth has no target); fn = planted target exists but no/other
+    prediction. Linkers emit at most one obj per subj, so row = record.
+    """
+    joined = truth.join(
+        preds.select(F.col("subj").alias("record_uri"), "obj"), "record_uri", "left"
+    )
+    agg = joined.agg(
+        F.count(F.when(F.col("obj") == F.col("true_obj"), 1)).alias("tp"),
+        F.count(F.when(F.col("obj").isNotNull(), 1)).alias("pred"),
+        F.count(F.when(F.col("true_obj").isNotNull(), 1)).alias("truth"),
+    ).collect()[0]
+    tp, pred, truth_n = agg["tp"], agg["pred"], agg["truth"]
+    by_class_rows = (
+        joined.filter(F.col("true_obj").isNotNull())
+        .groupBy("dirt_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("obj") != F.col("true_obj"), 1)).alias("wrong"),
+            F.count(F.when(F.col("obj").isNull(), 1)).alias("missing"),
+        )
+        .collect()
+    )
+    spurious = (
+        joined.filter(F.col("true_obj").isNull() & F.col("obj").isNotNull()).count()
+    )
+    return {
+        "tp": tp,
+        "fp": pred - tp,
+        "fn": truth_n - tp,
+        "pred": pred,
+        "truth": truth_n,
+        "spurious_on_no_target": spurious,
+        "precision": (tp / pred) if pred else 1.0,
+        "recall": (tp / truth_n) if truth_n else 1.0,
+        "by_class": {
+            r["dirt_class"]: {"n": r["n"], "wrong": r["wrong"], "missing": r["missing"]}
+            for r in sorted(by_class_rows, key=lambda r: r["dirt_class"])
+        },
+    }
+
+
+def evaluate(spark: SparkSession, sf_dir: str) -> dict:
+    """P/R of all four fuzzy linkers at ``sf_dir`` + micro-average."""
+    from . import queries as Q
+
+    rec = Q.build_silver(spark, sf_dir)
+    preds = {
+        "units": Q.q_link_units(spark, sf_dir),
+        "ranks": Q.q_link_ranks(spark, sf_dir),
+        "occupations": Q.q_link_occupations(spark, sf_dir),
+        "persons": Q.q_link_persons(spark, sf_dir),
+    }
+    out: dict = {}
+    tot_tp = tot_pred = tot_truth = 0
+    for name, p in preds.items():
+        out[name] = evaluate_linker(p.select("subj", "obj"), truth_frame(rec, name))
+        tot_tp += out[name]["tp"]
+        tot_pred += out[name]["pred"]
+        tot_truth += out[name]["truth"]
+    out["micro"] = {
+        "tp": tot_tp,
+        "pred": tot_pred,
+        "truth": tot_truth,
+        "precision": tot_tp / tot_pred if tot_pred else 1.0,
+        "recall": tot_tp / tot_truth if tot_truth else 1.0,
+    }
+    return out

@@ -89,7 +89,13 @@ def casualty_features(records: DataFrame, rank_links: DataFrame, unit_links: Dat
     )
 
 
-def _block_keys(family: F.Column, death_iso: F.Column, birth_iso: F.Column) -> F.Column:
+def _block_keys(
+    family: F.Column,
+    death_iso: F.Column,
+    birth_iso: F.Column,
+    given: F.Column | None = None,
+    name_only_always: bool = False,
+) -> F.Column:
     """Four blocking keys per row: (folded family 3-prefix × death|birth
     year) plus (phonetic consonant-skeleton key × death|birth year). The
     year union keeps recall when one date is dirty (a record whose death
@@ -99,17 +105,42 @@ def _block_keys(family: F.Column, death_iso: F.Column, birth_iso: F.Column) -> F
     edit-distance fuzzing (SPARQL/arpa_menehtyneet_persons.sparql:20-23),
     which a prefix block alone cannot mirror. '?' placeholders never match
     the fully-dated actor side; the 'P' prefix keeps the two key families
-    disjoint."""
+    disjoint.
+
+    When ``given`` is provided, a fifth NAME-ONLY key
+    ('N|<phonetic skeleton>|<folded given initial>') covers records where
+    BOTH dates failed conversion — otherwise all four year-keys carry '?'
+    and such records get zero candidates (measured: the only person-recall
+    misses on the planted truth). The reference has no such blind spot
+    because its Lucene retrieval is name-first, dates enter only at scoring
+    (src/linker.py:235-246). Skew posture at 10^12 rows: the actor side
+    emits the key for every row (``name_only_always=True``) but the record
+    side probes it only for the both-dates-unparseable sliver of the corpus
+    (~0.2% under the reference's documented dirt rates), and the key itself
+    is the FULL name skeleton + given initial — far finer than the fam3
+    prefix — so per-block fan-out stays bounded."""
     fam3 = F.substring(ascii_fold(F.lower(family)), 1, 3)
     phon = phonetic_key(family)
     dy = F.concat(F.lit("D"), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?")))
     by = F.concat(F.lit("B"), F.coalesce(F.substring(birth_iso, 1, 4), F.lit("?")))
-    return F.array(
+    base = F.array(
         F.concat_ws("|", fam3, dy),
         F.concat_ws("|", fam3, by),
         F.concat_ws("|", phon, dy),
         F.concat_ws("|", phon, by),
     )
+    if given is None:
+        return base
+    name_key = F.array(
+        F.concat_ws(
+            "|", F.lit("N"), phon, F.substring(ascii_fold(F.lower(given)), 1, 1)
+        )
+    )
+    if name_only_always:
+        return F.concat(base, name_key)
+    return F.when(
+        death_iso.isNull() & birth_iso.isNull(), F.concat(base, name_key)
+    ).otherwise(base)
 
 
 def _eq_feature(a: F.Column, b: F.Column) -> F.Column:
@@ -188,7 +219,12 @@ def link_persons(
     """Blocked candidate join + logistic scoring + mutual-best-match.
     -> triples (record_uri, CRM.P70_documents, actor_uri)."""
     left = features.withColumn(
-        "bk", F.explode(_block_keys(F.col("family"), F.col("death_iso"), F.col("birth_iso")))
+        "bk",
+        F.explode(
+            _block_keys(
+                F.col("family"), F.col("death_iso"), F.col("birth_iso"), F.col("given")
+            )
+        ),
     )
     right = actors.select(
         "actor_uri",
@@ -201,7 +237,16 @@ def link_persons(
         F.col("unit_uri").alias("a_unit"),
         F.col("birth_place").alias("a_place"),
     ).withColumn(
-        "bk", F.explode(_block_keys(F.col("a_family"), F.col("a_death"), F.col("a_birth")))
+        "bk",
+        F.explode(
+            _block_keys(
+                F.col("a_family"),
+                F.col("a_death"),
+                F.col("a_birth"),
+                F.col("a_given"),
+                name_only_always=True,
+            )
+        ),
     )
 
     if salt_buckets > 1:

@@ -172,9 +172,28 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
             )
         ).alias("ngram"),
     )
+    # Each dictionary label yields TWO normalized keys: the raw form and the
+    # abbreviation-EXPANDED form. The record side always expands, so the
+    # coverless literal '2./JR 8' becomes '2./Jalkaväkirykmentti 8' and can
+    # only hit the expanded key of its label — while the lowercased literal
+    # 'jr 8' escapes expansion (case-sensitive \b regex) and needs the raw
+    # key. Either key alone measurably loses one dirt class on the planted
+    # truth (eval_pr: units recall 0.98 with raw-only, same with
+    # expanded-only; 0.993 with both). The reference gets this from its
+    # Lucene index analyzing several label variants per unit
+    # (arpa_services/warsa_casualties_actor_units).
     dim_b = F.broadcast(
         unit_labels.select(
-            "unit_uri", "conflict", normalize_label(F.col("label")).alias("norm_label")
+            "unit_uri",
+            "conflict",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        normalize_label(F.col("label")),
+                        normalize_label(preprocess_unit(F.col("label"))),
+                    )
+                )
+            ).alias("norm_label"),
         )
     )
     cands_b = ngrams.withColumn("norm_ngram", normalize_label(F.col("ngram"))).join(

@@ -313,11 +313,18 @@ def _unit_common_ctes() -> list[str]:
 
     # NB: DuckDB string literals do NOT process backslash escapes, so the
     # regex metachars go in verbatim ('\b', '\s').
-    prep = "nullif(trim(josnimi), '')"
-    for pat, repl in ABBREVIATIONS:
-        pat_sql = pat.replace("'", "''")
-        prep = f"regexp_replace({prep}, '\\b{pat_sql}\\b', '{repl}', 'g')"
-    prep = f"trim(regexp_replace({prep}, '\\s+', ' ', 'g'))"
+    def abbrev_expand(expr: str) -> str:
+        for pat, repl in ABBREVIATIONS:
+            pat_sql = pat.replace("'", "''")
+            expr = f"regexp_replace({expr}, '\\b{pat_sql}\\b', '{repl}', 'g')"
+        return expr
+
+    raw_literal = "nullif(trim(josnimi), '')"
+    prep = f"trim(regexp_replace({abbrev_expand(raw_literal)}, '\\s+', ' ', 'g'))"
+    # label side of the path-B join matches on BOTH the raw-normalized and
+    # the abbreviation-expanded key (mirrors operators/link_units.py dim_b)
+    label_norm_raw = "lower(regexp_replace(u.label, '[,./\\s]', '', 'g'))"
+    label_norm_exp = f"lower(regexp_replace({abbrev_expand('u.label')}, '[,./\\s]', '', 'g'))"
 
     score = duckdb_levenshtein_ratio(
         duckdb_ascii_fold("label"), duckdb_ascii_fold("unit_literal")
@@ -355,7 +362,7 @@ def _unit_common_ctes() -> list[str]:
              length(lower(regexp_replace(ngram, '[,./\\s]', '', 'g'))) DESC,
              unit_uri ASC) AS rn
   FROM grams g JOIN unit_labels u
-    ON lower(regexp_replace(g.ngram, '[,./\\s]', '', 'g')) = lower(regexp_replace(u.label, '[,./\\s]', '', 'g')))""",
+    ON lower(regexp_replace(g.ngram, '[,./\\s]', '', 'g')) IN ({label_norm_raw}, {label_norm_exp}))""",
     ]
 
 
@@ -853,13 +860,23 @@ def _person_link_ctes() -> list[str]:
         "(coalesce(substr(f.death_iso, 1, 4), '?') = coalesce(substr(a.death_iso, 1, 4), '!')"
         " OR coalesce(substr(f.birth_iso, 1, 4), '?') = coalesce(substr(a.birth_iso, 1, 4), '!'))"
     )
+    # third branch: the name-only fallback for records whose BOTH dates
+    # failed conversion (link_persons._block_keys' fifth key — phonetic
+    # skeleton + folded given initial, probed only by the year-less sliver)
+    initial_eq = (
+        f"substr({_fold_sql('lower(f.given)')}, 1, 1) = substr({_fold_sql('lower(a.given)')}, 1, 1)"
+    )
     return _features_ctes() + [
         f"""cand AS MATERIALIZED (
   SELECT f.record_uri, a.actor_uri
   FROM features f JOIN actors a ON {fam3_eq} AND {year_eq}
   UNION
   SELECT f.record_uri, a.actor_uri
-  FROM features f JOIN actors a ON {phon_eq} AND {year_eq})""",
+  FROM features f JOIN actors a ON {phon_eq} AND {year_eq}
+  UNION
+  SELECT f.record_uri, a.actor_uri
+  FROM features f JOIN actors a ON {phon_eq} AND {initial_eq}
+  WHERE f.death_iso IS NULL AND f.birth_iso IS NULL)""",
         f"""scored AS MATERIALIZED (
   SELECT f.record_uri, a.actor_uri, {_pair_score_sql()} AS score
   FROM cand c

@@ -79,7 +79,12 @@ def candidate_frame(spark, sf_dir: str) -> pd.DataFrame:
     actors = synth.actors_from_sf(spark, sf_dir)
 
     left = feats.withColumn(
-        "bk", F.explode(LP._block_keys(F.col("family"), F.col("death_iso"), F.col("birth_iso")))
+        "bk",
+        F.explode(
+            LP._block_keys(
+                F.col("family"), F.col("death_iso"), F.col("birth_iso"), F.col("given")
+            )
+        ),
     )
     right = actors.select(
         "actor_uri", F.col("given").alias("a_given"), F.col("family").alias("a_family"),
@@ -87,7 +92,16 @@ def candidate_frame(spark, sf_dir: str) -> pd.DataFrame:
         F.col("rank_uri").alias("a_rank"), F.col("rank_level").alias("a_rank_level"),
         F.col("unit_uri").alias("a_unit"), F.col("birth_place").alias("a_place"),
     ).withColumn(
-        "bk", F.explode(LP._block_keys(F.col("a_family"), F.col("a_death"), F.col("a_birth")))
+        "bk",
+        F.explode(
+            LP._block_keys(
+                F.col("a_family"),
+                F.col("a_death"),
+                F.col("a_birth"),
+                F.col("a_given"),
+                name_only_always=True,
+            )
+        ),
     )
     pairs = left.join(right, "bk").dropDuplicates(["record_uri", "actor_uri"])
     pid = F.regexp_extract("record_uri", r"p(\d+)$", 1).cast("bigint")
