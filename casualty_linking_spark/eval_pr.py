@@ -152,25 +152,31 @@ def evaluate_linker(preds: DataFrame, truth: DataFrame) -> dict:
     joined = truth.join(
         preds.select(F.col("subj").alias("record_uri"), "obj"), "record_uri", "left"
     )
-    agg = joined.agg(
-        F.count(F.when(F.col("obj") == F.col("true_obj"), 1)).alias("tp"),
-        F.count(F.when(F.col("obj").isNotNull(), 1)).alias("pred"),
-        F.count(F.when(F.col("true_obj").isNotNull(), 1)).alias("truth"),
-    ).collect()[0]
-    tp, pred, truth_n = agg["tp"], agg["pred"], agg["truth"]
-    by_class_rows = (
-        joined.filter(F.col("true_obj").isNotNull())
-        .groupBy("dirt_class")
+    # ONE grouped aggregation = ONE action: the linkage plan behind `preds`
+    # (blocked join + vectorized scoring + greedy matching) executes exactly
+    # once per linker — separate tp/by-class/spurious actions re-ran the
+    # whole linkage three times, which is what made the 100k-record range
+    # evaluation time out.
+    has_truth = F.col("true_obj").isNotNull()
+    rows = (
+        joined.groupBy("dirt_class")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("obj") != F.col("true_obj"), 1)).alias("wrong"),
-            F.count(F.when(F.col("obj").isNull(), 1)).alias("missing"),
+            F.count(F.when(has_truth, 1)).alias("n"),
+            F.count(F.when(F.col("obj") == F.col("true_obj"), 1)).alias("tp"),
+            F.count(F.when(F.col("obj").isNotNull(), 1)).alias("pred"),
+            F.count(
+                F.when(has_truth & (F.col("obj") != F.col("true_obj")), 1)
+            ).alias("wrong"),
+            F.count(F.when(has_truth & F.col("obj").isNull(), 1)).alias("missing"),
+            F.count(F.when(~has_truth & F.col("obj").isNotNull(), 1)).alias("spurious"),
         )
         .collect()
     )
-    spurious = (
-        joined.filter(F.col("true_obj").isNull() & F.col("obj").isNotNull()).count()
-    )
+    tp = sum(r["tp"] for r in rows)
+    pred = sum(r["pred"] for r in rows)
+    truth_n = sum(r["n"] for r in rows)
+    spurious = sum(r["spurious"] for r in rows)
+    by_class_rows = [r for r in rows if r["n"]]
     return {
         "tp": tp,
         "fp": pred - tp,
@@ -187,17 +193,7 @@ def evaluate_linker(preds: DataFrame, truth: DataFrame) -> dict:
     }
 
 
-def evaluate(spark: SparkSession, sf_dir: str) -> dict:
-    """P/R of all four fuzzy linkers at ``sf_dir`` + micro-average."""
-    from . import queries as Q
-
-    rec = Q.build_silver(spark, sf_dir)
-    preds = {
-        "units": Q.q_link_units(spark, sf_dir),
-        "ranks": Q.q_link_ranks(spark, sf_dir),
-        "occupations": Q.q_link_occupations(spark, sf_dir),
-        "persons": Q.q_link_persons(spark, sf_dir),
-    }
+def _evaluate_preds(rec: DataFrame, preds: dict[str, DataFrame]) -> dict:
     out: dict = {}
     tot_tp = tot_pred = tot_truth = 0
     for name, p in preds.items():
@@ -213,3 +209,82 @@ def evaluate(spark: SparkSession, sf_dir: str) -> dict:
         "recall": tot_tp / tot_truth if tot_truth else 1.0,
     }
     return out
+
+
+def evaluate(spark: SparkSession, sf_dir: str) -> dict:
+    """P/R of all four fuzzy linkers at ``sf_dir`` + micro-average."""
+    from . import queries as Q
+
+    rec = Q.build_silver(spark, sf_dir)
+    preds = {
+        "units": Q.q_link_units(spark, sf_dir),
+        "ranks": Q.q_link_ranks(spark, sf_dir),
+        "occupations": Q.q_link_occupations(spark, sf_dir),
+        "persons": Q.q_link_persons(spark, sf_dir),
+    }
+    return _evaluate_preds(rec, preds)
+
+
+# The synth derives every identity field from pid by modulo, so the
+# (given, family, birth date, death date, municipality) identity — i.e.
+# everything the person scorer weights heavily — repeats every
+# lcm(16, 20, lcm(30,12,28)=420, lcm(6,12,28)=84, 24) = 1680 pids; only
+# rank (18) and unit (20) still differ out to the full 5040 cycle. Beyond
+# 1680, person_a{pid} and person_a{pid+1680} are near-indistinguishable and
+# the strict pid-truth stops being observable: measured persons P/R is
+# 1.000/1.000 at 1680, 0.989/0.989 at 5000, and collapses to 0.72/0.54 at
+# 20k purely from feature-identical twins. The dimension linkers
+# (units/ranks/occupations) key truth on the vocabulary index, which stays
+# well-defined at any n.
+IDENTITY_CYCLE = 1680
+
+
+def evaluate_range(
+    spark: SparkSession, n_records: int, include_persons: bool | None = None
+) -> dict:
+    """Same evaluation over range-generated input (the 10^12-turn posture:
+    no driver parquet, embarrassingly parallel synthesis) — shows link
+    quality is scale-invariant and the harness itself distributes.
+
+    ``include_persons`` defaults to ``n_records <= IDENTITY_CYCLE`` (see
+    above); pass True to force the (ill-defined) measurement anyway.
+
+    Scale note: with the synth's 20-surname vocabulary, person-candidate
+    pairs grow quadratically in n (every same-family same-year pair is a
+    genuine candidate) — a property of the DATA, not the blocking: a real
+    corpus's 10^4–10^5 surnames keep block sizes, and therefore pairs per
+    record, roughly constant as n grows."""
+    from . import dims
+    from .operators import extract, records as REC
+    from .operators.link_occupations import link_occupations
+    from .operators.link_persons import casualty_features, link_persons
+    from .operators.link_ranks import link_ranks
+    from .operators.link_units import link_units
+
+    if include_persons is None:
+        include_persons = n_records <= IDENTITY_CYCLE
+
+    t = synth.transcripts_range(spark, n_records)
+    rec = REC.build_records(
+        extract.mentions_to_raw_records(extract.extract_mentions(t))
+    ).localCheckpoint(eager=True)
+    d = dims.broadcast_dims(spark)
+    rl = link_ranks(rec, d["rank_labels"])
+    ol = link_occupations(rec, d["occupations"])
+    ul, _ = link_units(rec, d["unit_labels"])
+    preds = {
+        "units": ul.select("subj", "obj"),
+        "ranks": rl.select("subj", "obj"),
+        "occupations": ol.select("subj", "obj"),
+    }
+    if include_persons:
+        feats = casualty_features(rec, rl, ul, d["ranks"], d["municipalities"])
+        spark.range(n_records).selectExpr("id AS pid").createOrReplaceTempView(
+            "range_pids"
+        )
+        actors = spark.sql(
+            "WITH " + synth.synth_sql("spark", pid_source="range_pids")
+            + ",\n" + synth.actors_sql("spark") + "\nSELECT * FROM actors"
+        )
+        preds["persons"] = link_persons(feats, actors).select("subj", "obj")
+    return _evaluate_preds(rec, preds)

@@ -861,11 +861,22 @@ def _person_link_ctes() -> list[str]:
         " OR coalesce(substr(f.birth_iso, 1, 4), '?') = coalesce(substr(a.birth_iso, 1, 4), '!'))"
     )
     # third branch: the name-only fallback for records whose BOTH dates
-    # failed conversion (link_persons._block_keys' fifth key — phonetic
-    # skeleton + folded given initial, probed only by the year-less sliver)
-    initial_eq = (
-        f"substr({_fold_sql('lower(f.given)')}, 1, 1) = substr({_fold_sql('lower(a.given)')}, 1, 1)"
-    )
+    # failed conversion (link_persons._block_keys name keys — one phonetic
+    # skeleton per family token [full|first|last] + folded given initial,
+    # probed only by the year-less sliver)
+    def name_keys(uri_col: str, table: str) -> str:
+        fam = "family"
+        keys = ", ".join(
+            duckdb_phonetic_key(e)
+            for e in (
+                fam,
+                f"string_split_regex({fam}, '\\s+')[1]",
+                f"string_split_regex({fam}, '\\s+')[-1]",
+            )
+        )
+        init = f"substr({_fold_sql('lower(given)')}, 1, 1)"
+        return f"SELECT {uri_col}, {init} AS init, unnest([{keys}]) AS nk FROM {table}"
+
     return _features_ctes() + [
         f"""cand AS MATERIALIZED (
   SELECT f.record_uri, a.actor_uri
@@ -875,22 +886,48 @@ def _person_link_ctes() -> list[str]:
   FROM features f JOIN actors a ON {phon_eq} AND {year_eq}
   UNION
   SELECT f.record_uri, a.actor_uri
-  FROM features f JOIN actors a ON {phon_eq} AND {initial_eq}
-  WHERE f.death_iso IS NULL AND f.birth_iso IS NULL)""",
+  FROM ({name_keys('record_uri', 'features')}
+        WHERE death_iso IS NULL AND birth_iso IS NULL) f
+  JOIN ({name_keys('actor_uri', 'actors')}) a ON f.nk = a.nk AND f.init = a.init)""",
         f"""scored AS MATERIALIZED (
   SELECT f.record_uri, a.actor_uri, {_pair_score_sql()} AS score
   FROM cand c
   JOIN features f ON c.record_uri = f.record_uri
   JOIN actors a ON c.actor_uri = a.actor_uri
   WHERE {_pair_score_sql()} >= 0.85)""",
-        """mutual AS MATERIALIZED (
+        # iterated mutual-best (3 rounds = link_persons._greedy_match):
+        # each round matches pairs that are both endpoints' best REMAINING
+        # option, then removes matched endpoints
+        *_mutual_round_ctes(3),
+    ]
+
+
+def _mutual_round_ctes(rounds: int) -> list[str]:
+    ctes = []
+    src = "scored"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""mutual{i} AS MATERIALIZED (
   SELECT record_uri, actor_uri FROM (
     SELECT record_uri, actor_uri,
       row_number() OVER (PARTITION BY record_uri ORDER BY score DESC, actor_uri ASC) AS rl,
       row_number() OVER (PARTITION BY actor_uri ORDER BY score DESC, record_uri ASC) AS rr
-    FROM scored
-  ) WHERE rl = 1 AND rr = 1)""",
-    ]
+    FROM {src}
+  ) WHERE rl = 1 AND rr = 1)"""
+        )
+        if i < rounds:
+            ctes.append(
+                f"""scored{i + 1} AS MATERIALIZED (
+  SELECT s.* FROM {src} s
+  WHERE s.record_uri NOT IN (SELECT record_uri FROM mutual{i})
+    AND s.actor_uri NOT IN (SELECT actor_uri FROM mutual{i}))"""
+            )
+            src = f"scored{i + 1}"
+    union = " UNION ALL ".join(
+        f"SELECT record_uri, actor_uri FROM mutual{i}" for i in range(1, rounds + 1)
+    )
+    ctes.append(f"mutual AS MATERIALIZED ({union})")
+    return ctes
 
 
 def q_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,6 +132,18 @@ def build_training(d: pd.DataFrame):
     d2 = comp_a[[f + "_t" for f in FEATURES]].to_numpy(float) - comp_a[
         [f + "_c" for f in FEATURES]].to_numpy(float)
     D = np.vstack([d1, d2])
+    # Drop feature-IDENTICAL true-vs-competitor diffs (all-zero rows): no
+    # linear scorer can rank a pair above its exact twin, so the constraint
+    # is unsatisfiable by construction — it stays "violated" forever, the
+    # boosting loop inflates its weight BOOST^MAX_ROUNDS-fold, and the
+    # normalization then drowns every satisfiable constraint's gradient
+    # (measured: 33 residual violations and a visibly worse fit). Such ties
+    # are resolved downstream by iterated mutual-best matching
+    # (link_persons._greedy_match), not by scoring.
+    zero = np.abs(D).sum(axis=1) < 1e-12
+    if zero.any():
+        print(f"dropped {int(zero.sum())} feature-identical ranking diffs (tie-class)")
+        D = D[~zero]
 
     pos = d[(d.is_true == 1) & (d.pid % 2 == 0)]
     negd = d[(d.akind == "d") & (d.aid == d.pid) & (d.pid % 2 == 1)]

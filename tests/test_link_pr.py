@@ -39,6 +39,17 @@ def test_link_pr_meets_north_rule_bar(spark):
     assert all(c["wrong"] == 0 for c in units.values()), units
 
 
+def test_link_pr_range_path(spark):
+    """The range-generated evaluation (10^12-turn posture, no driver
+    parquet) reproduces perfect person linking below the identity cycle
+    and auto-excludes persons above it."""
+    r = eval_pr.evaluate_range(spark, 500)
+    assert r["persons"]["precision"] == 1.0 and r["persons"]["recall"] == 1.0
+    assert r["units"]["precision"] == 1.0 and r["units"]["recall"] >= 0.98
+    big = eval_pr.evaluate_range(spark, eval_pr.IDENTITY_CYCLE + 1)
+    assert "persons" not in big
+
+
 def test_no_spurious_links_on_no_target_records(spark):
     """Records the synth gave NO true target (unknown occupation, decoy-only
     actors) must not produce links — spurious emissions are exactly the
