@@ -279,12 +279,6 @@ def evaluate_range(
     }
     if include_persons:
         feats = casualty_features(rec, rl, ul, d["ranks"], d["municipalities"])
-        spark.range(n_records).selectExpr("id AS pid").createOrReplaceTempView(
-            "range_pids"
-        )
-        actors = spark.sql(
-            "WITH " + synth.synth_sql("spark", pid_source="range_pids")
-            + ",\n" + synth.actors_sql("spark") + "\nSELECT * FROM actors"
-        )
+        actors = synth.actors_range(spark, n_records)
         preds["persons"] = link_persons(feats, actors).select("subj", "obj")
     return _evaluate_preds(rec, preds)

@@ -321,6 +321,16 @@ actors AS (
 )""".strip()
 
 
+def actors_range(spark: SparkSession, n_records: int) -> DataFrame:
+    """Actor dimension for range-generated pids (scale path, no driver data)."""
+    spark.range(n_records).selectExpr("id AS pid").createOrReplaceTempView("range_pids")
+    sql = (
+        "WITH " + synth_sql("spark", pid_source="range_pids") + ",\n"
+        + actors_sql("spark") + "\nSELECT * FROM actors"
+    )
+    return spark.sql(sql)
+
+
 def actors_from_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_parquet(spark, sf_dir, ["customer"])
     sql = (

@@ -51,7 +51,7 @@ def main() -> None:
         actors = synth.actors_from_sf(spark, args.sf_dir) if args.with_persons else None
     else:
         transcripts = synth.transcripts_range(spark, args.records)
-        actors = None
+        actors = synth.actors_range(spark, args.records) if args.with_persons else None
 
     triples = Pipeline(spark, args.root, transcripts, actors=actors).run()
     counts = {r["graph_kind"]: r["count"] for r in triples.groupBy("graph_kind").count().collect()}
