@@ -941,6 +941,92 @@ def q_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_persons(feats, actors).select("subj", "pred", "obj")
 
 
+def q_link_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json headline metric AS a contract query: per-linker
+    tp/pred/truth counts vs the synth's planted ground truth (eval_pr truth
+    expressions), hash-checked against a DuckDB recomputation of both the
+    links AND the truth — so the P/R measurement itself sits under the
+    driver's correctness gate."""
+    from . import eval_pr
+
+    rec = build_silver(spark, sf_dir)
+    preds = {
+        "units": q_link_units(spark, sf_dir),
+        "ranks": q_link_ranks(spark, sf_dir),
+        "occupations": q_link_occupations(spark, sf_dir),
+        "persons": q_link_persons(spark, sf_dir),
+    }
+    out = None
+    for name, p in preds.items():
+        t = eval_pr.truth_frame(rec, name)
+        j = t.join(
+            p.select(F.col("subj").alias("record_uri"), "obj"), "record_uri", "left"
+        )
+        agg = (
+            j.agg(
+                F.count(F.when(F.col("obj") == F.col("true_obj"), 1)).alias("tp"),
+                F.count("obj").alias("pred"),
+                F.count("true_obj").alias("truth_n"),
+            )
+            .withColumn("linker", F.lit(name))
+            .select("linker", "tp", "pred", "truth_n")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def oracle_link_pr() -> str:
+    from . import eval_pr
+
+    def t(fn) -> str:
+        return fn().replace("person_id", "pid")
+
+    truth_cte = f"""truth AS (
+  SELECT pid,
+    {t(eval_pr.truth_unit_uri)} AS t_unit,
+    {t(eval_pr.truth_rank_uri)} AS t_rank,
+    {t(eval_pr.truth_occupation_uri)} AS t_occ,
+    {t(eval_pr.truth_actor_uri)} AS t_person
+  FROM records)"""
+    occ_link_cte = """occ_link AS (
+  SELECT pid AS ol_pid, occ_uri FROM (
+    SELECT pid, occ_uri,
+      row_number() OVER (
+        PARTITION BY pid
+        ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
+      ) AS rn
+    FROM records JOIN occupations ON substr(lower(ammatti), 1, 1) = substr(label, 1, 1)
+    WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88
+  ) WHERE rn = 1)"""
+    person_link_cte = """person_link AS (
+  SELECT f.pid AS pl_pid, m.actor_uri FROM mutual m JOIN features f ON m.record_uri = f.record_uri)"""
+
+    def row(linker: str, link_tbl: str, link_pid: str, link_obj: str, t_col: str) -> str:
+        return f"""SELECT '{linker}' AS linker,
+  count(CASE WHEN l.{link_obj} = t.{t_col} THEN 1 END) AS tp,
+  count(l.{link_obj}) AS pred,
+  count(t.{t_col}) AS truth_n
+FROM truth t LEFT JOIN {link_tbl} l ON t.pid = l.{link_pid}"""
+
+    sel = "\nUNION ALL\n".join(
+        [
+            row("units", "unit_link", "ul_pid", "unit_uri", "t_unit"),
+            row("ranks", "rank_link", "rl_pid", "rank_uri", "t_rank"),
+            row("occupations", "occ_link", "ol_pid", "occ_uri", "t_occ"),
+            row("persons", "person_link", "pl_pid", "actor_uri", "t_person"),
+        ]
+    )
+    return (
+        synth.oracle_prelude(
+            [synth.actors_sql("duckdb"), dims.occupations_cte()]
+            + _person_link_ctes()
+            + [occ_link_cte, person_link_cte, truth_cte]
+        )
+        + "\n"
+        + sel
+    )
+
+
 def oracle_link_persons() -> str:
     sel = f"""
 SELECT record_uri AS subj, '{NS.CRM}P70_documents' AS pred, actor_uri AS obj FROM mutual"""
@@ -2167,6 +2253,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_graph_diff": (q_graph_diff, oracle_graph_diff),
     "kg_person_features": (q_person_features, oracle_person_features),
     "kg_link_persons": (q_link_persons, oracle_link_persons),
+    "kg_link_pr": (q_link_pr, oracle_link_pr),
     "kg_connected_components": (q_connected_components, oracle_connected_components),
     "kg_generate_persons": (q_generate_persons, oracle_generate_persons),
     "kg_generate_births": (q_generate_births, oracle_generate_births),
