@@ -250,14 +250,43 @@ def _greedy_match(scored: DataFrame, rounds: int = 3) -> DataFrame:
     return out
 
 
+def oversized_block_keys(
+    left: DataFrame, right: DataFrame, block_cap: int
+) -> DataFrame:
+    """Block keys whose candidate-pair count |left_bk| × |right_bk| exceeds
+    ``block_cap`` — (bk, n_left, n_right, n_pairs) rows. Two map-side-
+    combinable aggs + a key-only join; cost is O(distinct keys), not pairs."""
+    ln = left.groupBy("bk").agg(F.count(F.lit(1)).alias("n_left"))
+    rn = right.groupBy("bk").agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        ln.join(rn, "bk")
+        .withColumn("n_pairs", F.col("n_left") * F.col("n_right"))
+        .filter(F.col("n_pairs") > block_cap)
+    )
+
+
 def link_persons(
     features: DataFrame,
     actors: DataFrame,
     threshold: float = THRESHOLD,
     salt_buckets: int = 1,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Blocked candidate join + logistic scoring + mutual-best-match.
-    -> triples (record_uri, CRM.P70_documents, actor_uri)."""
+    -> triples (record_uri, CRM.P70_documents, actor_uri).
+
+    ``block_cap`` (off by default — semantics identical to the uncapped
+    operator) drops block keys whose candidate-pair count would exceed the
+    cap BEFORE the pair join. This is the explicit guard for the failure
+    mode measured in BENCH/LINK_PR.md: a low-cardinality name vocabulary
+    makes pair counts quadratic in corpus size (13.2M pairs at 20k synth
+    records), and at 10^12 rows one hot surname×year block can dominate a
+    stage. The reference has the same guard implicitly — its Lucene
+    retrieval returns top-N hits per query, silently truncating hot blocks
+    (src/linker.py Lucene-based candidate search); here the truncation is
+    explicit, deterministic, and observable via :func:`oversized_block_keys`
+    (log it, alert on it, or route dropped blocks to a finer key). A record
+    participating in several keys still links through its surviving keys."""
     left = features.withColumn(
         "bk",
         F.explode(
@@ -288,6 +317,11 @@ def link_persons(
             )
         ),
     )
+
+    if block_cap is not None:
+        over = oversized_block_keys(left, right, block_cap).select("bk")
+        left = left.join(F.broadcast(over), "bk", "left_anti")
+        right = right.join(F.broadcast(over), "bk", "left_anti")
 
     if salt_buckets > 1:
         # deterministic salting for Zipfian blocks: big side takes a

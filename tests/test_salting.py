@@ -30,3 +30,41 @@ def test_salted_linkage_matches_unsalted(spark):
     salted = {(r.subj, r.obj) for r in link_persons(feats, actors, salt_buckets=4).collect()}
     assert plain == salted
     assert len(plain) > 100
+
+    # block_cap: a generous cap is a no-op; a tiny cap drops exactly the
+    # keys oversized_block_keys reports, and records with several surviving
+    # keys still link
+    from casualty_linking_spark.operators.link_persons import (
+        _block_keys,
+        oversized_block_keys,
+    )
+    from pyspark.sql import functions as F
+
+    capped_hi = {
+        (r.subj, r.obj)
+        for r in link_persons(feats, actors, block_cap=10_000_000).collect()
+    }
+    assert capped_hi == plain
+
+    left = feats.withColumn(
+        "bk",
+        F.explode(
+            _block_keys(F.col("family"), F.col("death_iso"), F.col("birth_iso"), F.col("given"))
+        ),
+    )
+    right = actors.withColumn(
+        "bk",
+        F.explode(
+            _block_keys(
+                F.col("family"), F.col("death_iso"), F.col("birth_iso"), F.col("given"),
+                name_only_always=True,
+            )
+        ),
+    )
+    over = oversized_block_keys(left, right, 50).collect()
+    assert over, "the 20-surname synth must produce oversized blocks at cap=50"
+    assert all(r.n_pairs > 50 and r.n_pairs == r.n_left * r.n_right for r in over)
+    capped_lo = {
+        (r.subj, r.obj) for r in link_persons(feats, actors, block_cap=50).collect()
+    }
+    assert capped_lo <= plain and len(capped_lo) > 0
