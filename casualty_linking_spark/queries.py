@@ -1431,12 +1431,23 @@ FROM records"""
 # training-data ops: dedup / text analysis / ANN over documents & embeddings
 # ---------------------------------------------------------------------------
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The sf tables are single parquet files, so every downstream heavy
+    projection (shingle explode + 12×md5 minhash, 64-bit simhash, vector
+    math) would serialize on ONE core — measured 10 s for the minhash
+    shingle pass at sf0.1 on local[32]. One tiny row shuffle spreads the
+    scan across the default parallelism; values are untouched, so every
+    DuckDB oracle hash is unaffected. A production table arrives in many
+    files and gets this for free — same reasoning as transcripts_from_sf."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,7 +1664,7 @@ def q_events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
