@@ -33,11 +33,11 @@ from . import synth
 from .dims import OCCUPATIONS, RANKS, UNITS
 
 
-def _case_over_pid(uris: list[str]) -> str:
-    return synth._case_over_mod("person_id", uris)
+def _case_over_pid(uris: list[str], pid: str = "person_id") -> str:
+    return synth._case_over_mod(pid, uris)
 
 
-def truth_rank_uri() -> str:
+def truth_rank_uri(pid: str = "person_id") -> str:
     """Planted rank. Dirt classes 'Alipuseeri' (pid%41=19) and 'Alikers'
     (pid%41=23) REPLACE the base literal (synth.py raw1), so their truth is
     the entity the typo denotes (reference URI_MAPPINGS, src/process.py:24-25),
@@ -46,41 +46,41 @@ def truth_rank_uri() -> str:
     ali_upseeri = NS.RANKS_NS + "Aliupseeri"
     ali_kersantti = NS.RANKS_NS + "Alikersantti"
     return (
-        f"CASE WHEN person_id % 41 = 19 THEN '{ali_upseeri}' "
-        f"WHEN person_id % 41 = 23 THEN '{ali_kersantti}' "
-        f"ELSE {_case_over_pid(uris)} END"
+        f"CASE WHEN {pid} % 41 = 19 THEN '{ali_upseeri}' "
+        f"WHEN {pid} % 41 = 23 THEN '{ali_kersantti}' "
+        f"ELSE {_case_over_pid(uris, pid)} END"
     )
 
 
-def truth_unit_uri() -> str:
+def truth_unit_uri(pid: str = "person_id") -> str:
     """Planted unit = UNITS[pid%20] (UNIT_LITERALS aligns with dims.UNITS),
     except the long-company dirt class (pid%73=9) whose literal
     '2. Komppania / JR 8' denotes unit_jr8_2k."""
     uris = [NS.UNITS_NS + slug for slug, *_ in UNITS]
     jr8_2k = NS.UNITS_NS + "unit_jr8_2k"
-    return f"CASE WHEN person_id % 73 = 9 THEN '{jr8_2k}' ELSE {_case_over_pid(uris)} END"
+    return f"CASE WHEN {pid} % 73 = 9 THEN '{jr8_2k}' ELSE {_case_over_pid(uris, pid)} END"
 
 
-def truth_occupation_uri() -> str:
+def truth_occupation_uri(pid: str = "person_id") -> str:
     """Planted occupation = OCCUPATIONS[pid%16]; the unknown-occupation class
     ('insinöörioppilas', pid%67=5 when not shadowed by the dropped-char class
     pid%61=4, which precedes it in the synth CASE) has NO true target —
     emitting any link for it is a false positive."""
     uris = [NS.OCCUPATIONS_NS + slug for slug, _ in OCCUPATIONS]
     return (
-        f"CASE WHEN person_id % 61 = 4 THEN {_case_over_pid(uris)} "
-        f"WHEN person_id % 67 = 5 THEN NULL "
-        f"ELSE {_case_over_pid(uris)} END"
+        f"CASE WHEN {pid} % 61 = 4 THEN {_case_over_pid(uris, pid)} "
+        f"WHEN {pid} % 67 = 5 THEN NULL "
+        f"ELSE {_case_over_pid(uris, pid)} END"
     )
 
 
-def truth_actor_uri() -> str:
+def truth_actor_uri(pid: str = "person_id") -> str:
     """True matching actor = person_a{pid} for pid%4 != 3 (synth.actors_sql);
     the remaining quarter has only the decoy actor (same family block,
     shifted dates) and must NOT link."""
     return (
-        "CASE WHEN person_id % 4 != 3 "
-        "THEN concat('http://ldf.fi/warsa/actors/person_a', CAST(person_id AS STRING)) END"
+        f"CASE WHEN {pid} % 4 != 3 "
+        f"THEN concat('http://ldf.fi/warsa/actors/person_a', CAST({pid} AS STRING)) END"
     )
 
 
@@ -144,7 +144,10 @@ def truth_frame(records: DataFrame, linker: str) -> DataFrame:
 def evaluate_linker(preds: DataFrame, truth: DataFrame) -> dict:
     """preds: (subj, obj). truth: (record_uri, true_obj, dirt_class).
 
-    One full-outer join on record, then a single pass of conditional aggs.
+    One LEFT join from truth to preds (truth covers every record by
+    construction — a prediction for a subj outside the truth frame would be
+    silently dropped, so only pass preds built from the same records), then
+    a single grouped pass of conditional aggs.
     tp = predicted obj equals planted obj; fp = prediction exists but differs
     (or truth has no target); fn = planted target exists but no/other
     prediction. Linkers emit at most one obj per subj, so row = record.

@@ -35,10 +35,9 @@ THRESHOLD = 0.85
 
 # Calibrated logistic weights, fitted offline from labelled training pairs
 # by scripts/fit_link_weights.py (the deterministic stand-in for dedupe's
-# RecordLink training, src/linker.py:233-237) and validated against the
-# planted truth at P=1.0000 / R=0.9973 — see link_weights.py for the fit
-# provenance. dict() copy so tests/fit can patch WEIGHTS without mutating
-# the generated module.
+# RecordLink training, src/linker.py:233-237) — see link_weights.py for the
+# fit provenance and its measured validation P/R. dict() copy so tests/fit
+# can patch WEIGHTS without mutating the generated module.
 from .link_weights import FITTED_BIAS, FITTED_WEIGHTS
 
 WEIGHTS = dict(FITTED_WEIGHTS)
@@ -119,15 +118,22 @@ def _block_keys(
     (~0.2% under the reference's documented dirt rates), and the key itself
     is the FULL name skeleton + given initial — far finer than the fam3
     prefix — so per-block fan-out stays bounded."""
+    # F.concat (not concat_ws) everywhere: concat is NULL-strict, so a null
+    # family/given yields a NULL key, which an equi-join never matches —
+    # exactly the DuckDB oracle's NULL-equality semantics. concat_ws would
+    # silently DROP the null component and let two null-named rows block
+    # together on the year alone, a Spark/oracle divergence on any corpus
+    # with missing names.
     fam3 = F.substring(ascii_fold(F.lower(family)), 1, 3)
     phon = phonetic_key(family)
     dy = F.concat(F.lit("D"), F.coalesce(F.substring(death_iso, 1, 4), F.lit("?")))
     by = F.concat(F.lit("B"), F.coalesce(F.substring(birth_iso, 1, 4), F.lit("?")))
+    sep = F.lit("|")
     base = F.array(
-        F.concat_ws("|", fam3, dy),
-        F.concat_ws("|", fam3, by),
-        F.concat_ws("|", phon, dy),
-        F.concat_ws("|", phon, by),
+        F.concat(fam3, sep, dy),
+        F.concat(fam3, sep, by),
+        F.concat(phon, sep, dy),
+        F.concat(phon, sep, by),
     )
     if given is None:
         return base
@@ -140,7 +146,7 @@ def _block_keys(
     init = F.substring(ascii_fold(F.lower(given)), 1, 1)
 
     def nk(c: F.Column) -> F.Column:
-        return F.concat_ws("|", F.lit("N"), phonetic_key(c), init)
+        return F.concat(F.lit("N|"), phonetic_key(c), sep, init)
 
     name_keys = F.array_distinct(
         F.array(nk(family), nk(F.element_at(toks, 1)), nk(F.element_at(toks, -1)))

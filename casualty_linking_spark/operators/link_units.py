@@ -178,8 +178,9 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     # only hit the expanded key of its label — while the lowercased literal
     # 'jr 8' escapes expansion (case-sensitive \b regex) and needs the raw
     # key. Either key alone measurably loses one dirt class on the planted
-    # truth (eval_pr: units recall 0.98 with raw-only, same with
-    # expanded-only; 0.993 with both). The reference gets this from its
+    # truth (eval_pr at sf0.01: units recall 0.980 with raw-only, same with
+    # expanded-only; 0.991 with both — BENCH/LINK_PR.md). The reference gets
+    # this from its
     # Lucene index analyzing several label variants per unit
     # (arpa_services/warsa_casualties_actor_units).
     dim_b = F.broadcast(

@@ -274,21 +274,23 @@ def q_link_occupations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_occupations(rec, dims.dim_occupations(spark)).select("subj", "pred", "obj")
 
 
+def _occ_link_scored_sql() -> str:
+    """Inner occupation-candidate SELECT (first-char block, jw >= 0.88,
+    deterministic argmax rn) — the ONE copy of the linking semantics, shared
+    by oracle_link_occupations and oracle_link_pr."""
+    return """SELECT pid, occ_uri,
+      row_number() OVER (
+        PARTITION BY pid
+        ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
+      ) AS rn
+    FROM records JOIN occupations ON substr(lower(ammatti), 1, 1) = substr(label, 1, 1)
+    WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88"""
+
+
 def oracle_link_occupations() -> str:
     sel = f"""
-SELECT subj, pred, obj FROM (
-  SELECT {_SUBJ_SQL} AS subj,
-         '{NS.BIOC}has_occupation' AS pred,
-         occ_uri AS obj,
-         jaro_winkler_similarity(lower(ammatti), label) AS score,
-         row_number() OVER (
-           PARTITION BY pid
-           ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
-         ) AS rn
-  FROM records JOIN occupations
-    ON substr(lower(ammatti), 1, 1) = substr(label, 1, 1)
-  WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88
-) WHERE rn = 1"""
+SELECT {_SUBJ_SQL} AS subj, '{NS.BIOC}has_occupation' AS pred, occ_uri AS obj
+FROM ({_occ_link_scored_sql()}) WHERE rn = 1"""
     return synth.oracle_prelude([dims.occupations_cte()]) + sel
 
 
@@ -978,26 +980,14 @@ def q_link_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_link_pr() -> str:
     from . import eval_pr
 
-    def t(fn) -> str:
-        return fn().replace("person_id", "pid")
-
     truth_cte = f"""truth AS (
   SELECT pid,
-    {t(eval_pr.truth_unit_uri)} AS t_unit,
-    {t(eval_pr.truth_rank_uri)} AS t_rank,
-    {t(eval_pr.truth_occupation_uri)} AS t_occ,
-    {t(eval_pr.truth_actor_uri)} AS t_person
+    {eval_pr.truth_unit_uri("pid")} AS t_unit,
+    {eval_pr.truth_rank_uri("pid")} AS t_rank,
+    {eval_pr.truth_occupation_uri("pid")} AS t_occ,
+    {eval_pr.truth_actor_uri("pid")} AS t_person
   FROM records)"""
-    occ_link_cte = """occ_link AS (
-  SELECT pid AS ol_pid, occ_uri FROM (
-    SELECT pid, occ_uri,
-      row_number() OVER (
-        PARTITION BY pid
-        ORDER BY jaro_winkler_similarity(lower(ammatti), label) DESC, occ_uri ASC
-      ) AS rn
-    FROM records JOIN occupations ON substr(lower(ammatti), 1, 1) = substr(label, 1, 1)
-    WHERE jaro_winkler_similarity(lower(ammatti), label) >= 0.88
-  ) WHERE rn = 1)"""
+    occ_link_cte = f"occ_link AS (\n  SELECT pid AS ol_pid, occ_uri FROM ({_occ_link_scored_sql()}) WHERE rn = 1)"
     person_link_cte = """person_link AS (
   SELECT f.pid AS pl_pid, m.actor_uri FROM mutual m JOIN features f ON m.record_uri = f.record_uri)"""
 
