@@ -240,11 +240,17 @@ def _greedy_match(scored: DataFrame, rounds: int = 3) -> DataFrame:
         wr = Window.partitionBy("actor_uri").orderBy(
             F.col("score").desc(), F.col("record_uri").asc()
         )
+        # lazy checkpoint per round: each m feeds the result union AND two
+        # anti-joins, and remaining(i+1) embeds remaining(i) through them —
+        # without the cut the logical plan grows 3^rounds (measured: rounds
+        # beyond ~8 hang in the optimizer on a 40-row input). The cut makes
+        # growth linear and computes each round's matching once.
         m = (
             remaining.withColumn("rl", F.row_number().over(wl))
             .withColumn("rr", F.row_number().over(wr))
             .filter((F.col("rl") == 1) & (F.col("rr") == 1))
             .select("record_uri", "actor_uri")
+            .localCheckpoint(eager=False)
         )
         matched.append(m)
         remaining = remaining.join(

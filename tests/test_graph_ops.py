@@ -140,3 +140,48 @@ def test_graph_diff_properties(spark):
     assert d1 == {("added", "s2"), ("added", "s3"), ("removed", "s4")}
     d2 = {(r.op, r.subj) for r in graph_diff(b, a).collect()}
     assert d2 == {("removed", "s2"), ("removed", "s3"), ("added", "s4")}
+
+
+def test_greedy_match_equals_sequential_greedy(spark):
+    """link_persons._greedy_match run to sufficient depth must equal the
+    classic sequential greedy one-to-one matching (descending score, skip
+    used endpoints) — the semantics of the reference's dedupe matchBlocks.
+    Distinct scores keep tie-breaking out of the property. A truncated run
+    must be a subset (rounds only ever ADD disjoint matches)."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.link_persons import _greedy_match
+
+    rng = np.random.RandomState(7)
+    for case in range(3):
+        n_l, n_r = 12, 10
+        rows = []
+        seen_scores = set()
+        for _ in range(40):
+            l = int(rng.randint(n_l))
+            r = int(rng.randint(n_r))
+            s = round(float(rng.uniform(0.5, 1.0)), 9)
+            if s in seen_scores:
+                continue
+            seen_scores.add(s)
+            rows.append((f"rec{l:02d}", f"act{r:02d}", s))
+        # dedupe (record, actor) keeping max score, like dropDuplicates+max
+        best = {}
+        for l, r, s in rows:
+            if (l, r) not in best or s > best[(l, r)]:
+                best[(l, r)] = s
+        pairs = [(l, r, s) for (l, r), s in best.items()]
+
+        expected = set()
+        used_l, used_r = set(), set()
+        for l, r, s in sorted(pairs, key=lambda p: -p[2]):
+            if l not in used_l and r not in used_r:
+                expected.add((l, r))
+                used_l.add(l)
+                used_r.add(r)
+
+        sdf = spark.createDataFrame(pairs, "record_uri string, actor_uri string, score double")
+        full = {(r.record_uri, r.actor_uri) for r in _greedy_match(sdf, rounds=12).collect()}
+        assert full == expected, (case, full ^ expected)
+        truncated = {(r.record_uri, r.actor_uri) for r in _greedy_match(sdf, rounds=1).collect()}
+        assert truncated <= expected
