@@ -75,3 +75,29 @@ def test_salted_linkage_matches_unsalted(spark):
     assert 0 < len(capped_lo) < len(plain)
     assert len({s for s, _ in capped_lo}) == len(capped_lo)  # still a matching
     assert len({o for _, o in capped_lo}) == len(capped_lo)
+
+
+def test_block_keys_null_strict(spark):
+    """A null family or given must yield NULL (never partial) block keys —
+    the DuckDB oracle's NULL-equality semantics. concat_ws would silently
+    drop the null component and let two null-named rows block on the year
+    alone (latent engine/oracle divergence this pins against)."""
+    from pyspark.sql import functions as F
+
+    from casualty_linking_spark.operators.link_persons import _block_keys
+
+    df = spark.createDataFrame(
+        [(None, "1944-01-02", "1900-03-04", "Matti"), ("Virtanen", "1944-01-02", None, None)],
+        "family string, death string, birth string, given string",
+    )
+    keys = df.select(
+        _block_keys(
+            F.col("family"), F.col("death"), F.col("birth"), F.col("given"),
+            name_only_always=True,
+        ).alias("k")
+    ).collect()
+    null_family, null_given = keys[0]["k"], keys[1]["k"]
+    assert all(k is None for k in null_family), null_family
+    base, name = null_given[:4], null_given[4:]
+    assert all(k is not None for k in base), null_given
+    assert all(k is None for k in name), null_given
