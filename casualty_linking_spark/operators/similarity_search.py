@@ -228,10 +228,20 @@ def _assign_cells(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame
     argmax; this shape is shuffle-free and stays inside whole-stage codegen
     (asserted in tests/test_ivf_index.py::test_cell_assignment_is_shuffle_free).
     Very large centroid sets (beyond ``_LITERAL_CENTROID_BUDGET`` literals)
-    take the old join+window path instead of inflating the plan."""
-    cents = sorted((r["cell_id"], [float(x) for x in r["cv"]]) for r in centroids.collect())
-    if cents and len(cents) * len(cents[0][1]) > _LITERAL_CENTROID_BUDGET:
+    take the old join+window path instead of inflating the plan.
+
+    Ranking is NaN-normalized in BOTH paths (``nanvl(cos, -2.0)`` — below
+    any real cosine): a zero-norm vector yields a NaN cosine, and Spark's
+    comparator ``F.when`` branches vs a Window ``orderBy`` would otherwise
+    rank NaN differently, letting the two paths pick different cells for
+    the same row."""
+    # budget peek BEFORE any collect: when the literal path can't plan well,
+    # never pull the (large) centroid set onto the driver at all.
+    first = centroids.select(F.size("cv").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    if dim and centroids.count() * dim > _LITERAL_CENTROID_BUDGET:
         return _assign_cells_join(side, id_col, v_col, centroids, n_keep)
+    cents = sorted((r["cell_id"], [float(x) for x in r["cv"]]) for r in centroids.collect())
     cent_arr = F.array(*[
         F.struct(
             F.lit(cid).alias("cell_id"),
@@ -242,7 +252,8 @@ def _assign_cells(side: DataFrame, id_col: str, v_col: str, centroids: DataFrame
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
-            cosine(F.col(v_col), c["cv"]).alias("s"), c["cell_id"].alias("cell_id")
+            F.nanvl(cosine(F.col(v_col), c["cv"]), F.lit(-2.0)).alias("s"),
+            c["cell_id"].alias("cell_id"),
         ),
     )
     ranked = F.array_sort(
@@ -264,7 +275,7 @@ def _assign_cells_join(side: DataFrame, id_col: str, v_col: str, centroids: Data
     multiplied ×n_cells and shuffled by its id for the per-row argmax —
     only acceptable when the literal-expression path would not plan well)."""
     scored = side.join(F.broadcast(centroids)).withColumn(
-        "cell_cos", cosine(F.col(v_col), F.col("cv"))
+        "cell_cos", F.nanvl(cosine(F.col(v_col), F.col("cv")), F.lit(-2.0))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell_id").asc())
     return (

@@ -680,7 +680,15 @@ def q_property_path_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on either side) and the event hop picks up the SPO scan shuffle-free on
     the base-table side. Same oracle as the in-memory path — the store is a
     physical re-layout of the identical graph, so a mis-bucketed write or a
-    wrong projection choice fails the hash check."""
+    wrong projection choice fails the hash check.
+
+    Resource discipline (round-5): the store tables + tmp parquet are
+    dropped and the two bucketed-scan confs restored before returning —
+    they are session-global planner settings and previously stayed flipped
+    for every later query in a benchmarked session. The result is eagerly
+    materialized (localCheckpoint) inside the scope; it is a tiny distinct
+    (casualty, unit) pair set, never data-sized."""
+    import shutil
     import tempfile
     import uuid
 
@@ -689,21 +697,29 @@ def q_property_path_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen = _gen_base(spark, sf_dir)
     triples = union_graphs(gen["documents_links"], gen["joinings"])
     name = f"kgstore_{uuid.uuid4().hex[:8]}"
-    storage.write_triples_store(triples, tempfile.mkdtemp(prefix="kgstore_"), name)
-    o = storage.ops(spark, name)
-    doc = o.filter(F.col("pred") == NS.CRM + "P70_documents").select(
-        F.col("subj").alias("casualty"), F.col("obj").alias("person")
-    )
-    joined = o.filter(F.col("pred") == NS.CRM + "P143_joined").select(
-        F.col("subj").alias("event"), F.col("obj").alias("person")
-    )
-    with_unit = storage.spo(spark, name).filter(
-        F.col("pred") == NS.CRM + "P144_joined_with"
-    ).select(F.col("subj").alias("event"), F.col("obj").alias("unit"))
-    return (
-        doc.join(joined, "person").join(with_unit, "event")
-        .select("casualty", "unit").distinct()
-    )
+    tmp = tempfile.mkdtemp(prefix="kgstore_")
+    try:
+        with storage.scan_conf_scope(spark):
+            storage.write_triples_store(triples, tmp, name)
+            o = storage.ops(spark, name)
+            doc = o.filter(F.col("pred") == NS.CRM + "P70_documents").select(
+                F.col("subj").alias("casualty"), F.col("obj").alias("person")
+            )
+            joined = o.filter(F.col("pred") == NS.CRM + "P143_joined").select(
+                F.col("subj").alias("event"), F.col("obj").alias("person")
+            )
+            with_unit = storage.spo(spark, name).filter(
+                F.col("pred") == NS.CRM + "P144_joined_with"
+            ).select(F.col("subj").alias("event"), F.col("obj").alias("unit"))
+            result = (
+                doc.join(joined, "person").join(with_unit, "event")
+                .select("casualty", "unit").distinct()
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        storage.drop_triples_store(spark, name)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 def oracle_property_path_units() -> str:
@@ -1605,7 +1621,7 @@ def oracle_events_rollup() -> str:
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1, 2"""
 
 
@@ -1617,18 +1633,21 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_events_sessions() -> str:
     """Gaps-and-islands recomputation of Spark's session_window contract:
-    break when the inter-event gap exceeds 6h, session end = last event +
-    gap."""
+    per-event windows are half-open [ts, ts + gap), so an event exactly
+    ``gap`` after its predecessor does NOT overlap and starts a NEW session
+    — the break condition is >= (not >). The island-numbering running sum
+    orders by (ts, event_id), same as the brk window, so tied timestamps at
+    a boundary are deterministic. Session end = last event + gap."""
     return """
 WITH m AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+                OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 g AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM m)
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 6 HOUR AS session_end,
@@ -2081,6 +2100,14 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
+# The sessions replay always lands as this many input files: with
+# maxFilesPerTrigger=8 that forces >=8 micro-batches of UNORDERED history on
+# every host, so the harness exercises the same multi-batch watermark path the
+# driver's local[32] run takes (round 4's 751/1500 failure was invisible at 8
+# cores because the whole history fit one micro-batch there).
+SESSIONS_REPLAY_FILES = 64
+
+
 def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 custom stateful streaming (applyInPandasWithState) under the
     batch oracle: transcripts replayed as a file stream are sessionized —
@@ -2091,7 +2118,16 @@ def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates timeouts against the PREVIOUS batch's watermark); the clock
     rows are filtered from the result. Oracle = the same session features
     computed relationally over the static table: incremental state fold ==
-    batch aggregation, per conversation, hash-exact."""
+    batch aggregation, per conversation, hash-exact.
+
+    Watermark contract of the replay: historical files carry event-time
+    disorder up to the FULL ts span of the table (hash-partitioned files in
+    arbitrary order), so the only delay that makes the replay lossless is
+    one exceeding that span — computed from the data below. A production
+    stream's disorder is bounded by real arrival lag and uses a small delay
+    (streaming/sessionize.py defaults); a replay of unordered history must
+    widen it or it silently drops later files' rows as late (round-4 bug).
+    """
     import tempfile
 
     from .streaming.ingest import read_transcripts_stream
@@ -2100,8 +2136,11 @@ def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="kg_sessions_")
     inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
     t = synth.transcripts_from_sf(spark, sf_dir)
-    t.write.mode("overwrite").parquet(inp)
-    max_ts = t.agg(F.max("ts")).first()[0]
+    # hash-partitioned -> files are NOT ts-ordered: the adversarial layout.
+    t.repartition(SESSIONS_REPLAY_FILES, "conv_id").write.mode("overwrite").parquet(inp)
+    min_ts, max_ts = t.agg(F.min("ts"), F.max("ts")).first()
+    span_s = int((max_ts - min_ts).total_seconds())
+    wm_s = span_s + 60  # delay > max possible intra-replay disorder
 
     def clock(tag: str, offset_s: int) -> None:
         spark.createDataFrame(
@@ -2114,7 +2153,9 @@ def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once() -> None:
         q = (
             sessionize_conversations(
-                read_transcripts_stream(spark, inp), watermark="10 seconds", gap_ms=30_000
+                read_transcripts_stream(spark, inp),
+                watermark=f"{wm_s} seconds",
+                gap_ms=30_000,
             )
             .writeStream.format("parquet")
             .option("path", outp)
@@ -2126,9 +2167,11 @@ def q_kg_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()
-    clock("a", 3600)
+    # clock pushes sit beyond the watermark delay so the post-clock watermark
+    # (clock_ts - wm_s) still clears every real session's timeout (max_ts+30s)
+    clock("a", wm_s + 3600)
     run_once()
-    clock("b", 7200)
+    clock("b", wm_s + 7200)
     run_once()
     return spark.read.parquet(outp).filter(~F.col("conv_id").startswith("zz_clock"))
 
@@ -2140,7 +2183,7 @@ SELECT conv_id,
        count(*) AS n_turns,
        min(turn_idx) AS min_turn_idx,
        max(turn_idx) AS max_turn_idx,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
        md5(string_agg({idx_hash}, '|' ORDER BY {idx_hash})) AS text_fingerprint
 FROM transcripts
 GROUP BY conv_id"""
@@ -2163,11 +2206,18 @@ def q_dedup_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="dedup_streaming_")
     inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    # Replay watermark contract (same invariant as kg_streaming_sessions):
+    # the synthetic ts span (doc_id % 300 -> 300 s) must stay BELOW the
+    # stream's watermark delay (default 10 min), or a multi-file replay at
+    # high parallelism drops later files' older rows as late data. 300 < 600
+    # holds by construction; keep it that way if either constant changes.
+    _SPAN_S, _WM_S = 300, 600
+    assert _SPAN_S < _WM_S
     (
         _docs(spark, sf_dir)
         .select(
             "doc_id", "text",
-            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 300).alias("ts"),
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % _SPAN_S).alias("ts"),
         )
         .write.mode("overwrite").parquet(inp)
     )

@@ -35,10 +35,36 @@ by every downstream linker/enrichment pass.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 8
+
+# session confs the bucketed scans need ON at plan time (see _sorted_scan)
+_SCAN_CONFS = (
+    "spark.sql.legacy.bucketedTableScan.outputOrdering",
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+)
+
+
+@contextmanager
+def scan_conf_scope(spark: SparkSession):
+    """Scope the two bucketed-scan confs ``spo``/``ops`` flip: restores the
+    prior session values on exit, so a store-backed query doesn't leave
+    session-global planner settings flipped for every later query in the
+    same (benchmarked) session. Wrap the region where store scans are
+    PLANNED/EXECUTED — the confs are read at plan time, so a lazily
+    returned DataFrame must be materialized inside the scope."""
+    prior = {k: spark.conf.get(k, None) for k in _SCAN_CONFS}
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _table(name: str, suffix: str) -> str:

@@ -36,10 +36,29 @@ def duck():
     con.close()
 
 
+def _dtype_class(dtype) -> str:
+    """'i' integer-kind, 'f' float-kind, '' anything else."""
+    k = getattr(dtype, "kind", "")
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    return ""
+
+
 def compare_frames(sdf, duck_df, keys=None):
     """Order-insensitive comparison mirroring the driver's check: sort columns
     by name, sort rows, compare values (dates/timestamps as ISO strings,
-    NaN/None unified)."""
+    NaN/None unified).
+
+    DTYPE-CLASS STRICT (round-5 hardening): the driver hashes rendered
+    values, so a column fetched as float64 on one side and int64 on the
+    other mismatches there even when ``0.0 == 0`` — exactly how the DuckDB
+    HUGEINT (uncast ``sum(BIGINT)``) reds shipped in round 4 while this
+    mirror stayed green. An int-kind column on one side vs a float-kind
+    column on the other now fails, UNLESS the int side contains nulls
+    (pandas itself upcasts nullable ints to float64, so that case is a
+    fetch artifact both the driver's sides share, not an engine mismatch)."""
     import pandas as pd
 
     a = sdf.toPandas()
@@ -48,6 +67,17 @@ def compare_frames(sdf, duck_df, keys=None):
     cols = sorted(a.columns)
     a = a[cols].copy()
     b = b[cols].copy()
+
+    for c in cols:
+        ca, cb = _dtype_class(a[c].dtype), _dtype_class(b[c].dtype)
+        if {ca, cb} == {"i", "f"}:
+            float_side = a[c] if ca == "f" else b[c]
+            int_is_nullable_upcast = float_side.isna().any()
+            assert int_is_nullable_upcast, (
+                f"column {c}: dtype class mismatch spark={a[c].dtype} duck={b[c].dtype} "
+                "(int-vs-float with no nulls — the driver's value-hash would differ; "
+                "CAST the oracle aggregate, cf. DuckDB sum(BIGINT)->HUGEINT->float64)"
+            )
 
     import datetime as dt
 

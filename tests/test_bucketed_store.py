@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 from casualty_linking_spark import storage
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _scoped_scan_confs(spark):
+    """spo/ops flip two session-global planner confs at call time; scope them
+    to this module so the shared pytest Spark session isn't left re-planned
+    for every later test file."""
+    with storage.scan_conf_scope(spark):
+        yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
