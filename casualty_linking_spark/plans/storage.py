@@ -49,13 +49,24 @@ def write_table(
 ) -> None:
     """Idempotent write: dynamic partition overwrite keeps re-runs of a
     single partition from clobbering siblings (checkpoint-resume granularity
-    = one partition, per the north rule)."""
+    = one partition, per the north rule). The conf is scoped to this write —
+    session-global flips would silently change the overwrite semantics of a
+    caller's own partitioned writes (same discipline as
+    ``storage.scan_conf_scope``)."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def write_manifest(path: str, manifest: dict) -> None:
