@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-Decode status: PPM (P6) and uncompressed 24-bit BMP decode FOR REAL in pure
-numpy (header + raster parse — ``decode_ppm`` / ``decode_bmp`` /
-``image_features``), with nearest-neighbour resize. PNG/JPEG genuinely need
-PIL/libvips, which this container lacks, so they stay behind
-``decode_image_batch``'s disclosed NotImplementedError. The Spark-side
-plumbing is real and tested either way: schema contract, Arrow batch shapes,
-partition-preserving mapInPandas, and the metadata projection that lets
-Catalyst prune the (huge) binary column when a query touches only metadata.
+Decode status: PPM (P6), uncompressed 24-bit BMP, and **PNG** (8-bit,
+non-interlaced: gray/RGB/palette/alpha, all five scanline filters) decode
+FOR REAL in pure numpy + stdlib zlib (``decode_ppm`` / ``decode_bmp`` /
+``decode_png`` / ``image_features``), with nearest-neighbour resize and a
+minimal PNG encoder for test/synthesis payloads. JPEG is a full DCT+Huffman
+codec — out of scope to reimplement; it stays behind a disclosed
+NotImplementedError (a real deployment uses PIL/libvips there). The
+Spark-side plumbing is real and tested either way: schema contract, Arrow
+batch shapes, partition-preserving mapInPandas, and the metadata projection
+that lets Catalyst prune the (huge) binary column when a query touches only
+metadata.
 
 Scale design: binary payloads dominate bytes; they ride in their own parquet
 column so column pruning skips them entirely for metadata-only queries, and
@@ -61,10 +64,12 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """REAL decoder stub — would use PIL/libvips here.
+    """REAL general decoder stub — would use PIL/libvips here for the
+    formats the pure-numpy decoders below don't cover (JPEG, WebP, ...).
 
     Raises NotImplementedError: the container has no imaging libraries.
-    The pipeline runs with fake_decode=True instead."""
+    PPM/BMP/PNG decode for real via :func:`decode_image`; the generic
+    pipeline otherwise runs with fake_decode=True."""
     raise NotImplementedError("image decode requires PIL/libvips; not available in this container")
 
 
@@ -174,18 +179,184 @@ def decode_bmp(b: bytes) -> "np.ndarray":
     return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: "np.ndarray", h: int, stride: int, bpp: int) -> "np.ndarray":
+    """Reverse PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the decompressed IDAT stream reshaped to h x (1+stride): one
+    filter byte then ``stride`` raster bytes per row. Up is vectorized; Sub/
+    Average/Paeth carry a left-neighbour dependency, so those rows walk
+    pixel-groups (bpp-wide numpy slices) — rows are short, and at scale the
+    decode is parallel across images via mapInPandas, not within one."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                a = cur[x - bpp : x] if x >= bpp else np.zeros(bpp, dtype=np.int32)
+                seg = row[x : x + bpp]
+                b_ = prev[x : x + len(seg)]
+                a = a[: len(seg)]
+                if ft == 1:
+                    cur[x : x + len(seg)] = (seg + a) & 0xFF
+                elif ft == 3:
+                    cur[x : x + len(seg)] = (seg + (a + b_) // 2) & 0xFF
+                else:  # Paeth predictor
+                    c = (
+                        prev[x - bpp : x - bpp + len(seg)]
+                        if x >= bpp
+                        else np.zeros(len(seg), dtype=np.int32)
+                    )
+                    p = a + b_ - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b_), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b_, c))
+                    cur[x : x + len(seg)] = (seg + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(b: bytes) -> "np.ndarray":
+    """PNG -> HxWx3 uint8 RGB, pure numpy + stdlib zlib (no imaging libs).
+
+    Supports the common training-data case: bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Gray replicates to 3 channels and alpha is dropped —
+    the downstream feature stage consumes RGB. Interlaced (Adam7) and
+    16-bit files raise ValueError (callers treat them as undecodable rather
+    than failing the batch)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(b)
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+                raise ValueError(f"unsupported PNG (color={color_type}, comp={comp})")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:  # corrupt IDAT must not kill a decode batch
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, ch).reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[px[:, :, 0]].copy()
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA
+
+
+def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB, one filter type for every scanline) —
+    exists so tests/synthesis can plant REAL PNG payloads without imaging
+    libs. Filter types 1/3/4 exercise the decoder's sequential unfilter
+    paths; the test suite applies the spec's filter formulas here and the
+    decoder must invert them."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3, "encoder supports RGB"
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = img[y].astype(np.int32)
+        raw.append(filter_type)
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:  # Sub
+            a = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            enc = (row - a) & 0xFF
+        elif filter_type == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            a = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            enc = (row - (a + prev) // 2) & 0xFF
+        elif filter_type == 4:  # Paeth
+            a = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            c = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (row - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(b: bytes) -> "np.ndarray | None":
     """Dispatch on magic bytes. Returns None for unknown payloads (callers
     fall back to byte-level features); raises NotImplementedError for
-    formats that truly need an imaging library."""
+    formats that truly need an imaging library (JPEG — a full DCT+Huffman
+    codec is out of scope to reimplement; a real deployment uses
+    PIL/libvips there)."""
     if not b:
         return None
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
-        raise NotImplementedError("PNG/JPEG decode requires PIL/libvips; not in this container")
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG decode requires PIL/libvips; not in this container")
     return None
 
 
