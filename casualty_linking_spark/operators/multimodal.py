@@ -369,6 +369,118 @@ def resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
     return img[ys][:, xs]
 
 
+# ---------------------------------------------------------------------------
+# Real audio decode: WAV (RIFF PCM 8/16-bit) is a plain chunked byte layout —
+# pure struct/numpy, no audio libs. Compressed codecs (MP3/AAC/Opus) would
+# need real codec libraries and stay undecodable (callers get decoded=false).
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(b: bytes) -> "tuple[int, np.ndarray]":
+    """RIFF/WAVE PCM -> (sample_rate, float32 array (n_samples, n_channels)
+    in [-1, 1]). Supports 8-bit unsigned and 16-bit signed little-endian
+    PCM, any channel count. Non-PCM formats / other depths / truncated
+    files raise ValueError (batch-tolerant, like the image decoders)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(b)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format={audio_format})")
+    if n_channels < 1:
+        raise ValueError("bad channel count")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (bits={bits})")
+    n_frames = len(x) // n_channels
+    return sample_rate, x[: n_frames * n_channels].reshape(n_frames, n_channels)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV writer (tests/synthesis counterpart of
+    :func:`decode_wav`). ``samples``: float array (n, channels) in [-1, 1]."""
+    samples = np.asarray(samples, dtype=np.float32)
+    if samples.ndim == 1:
+        samples = samples[:, None]  # 1-D input = mono
+    n, ch = samples.shape
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.FloatType(), True),
+        T.StructField("peak", T.FloatType(), True),
+        T.StructField("zero_crossing_rate", T.FloatType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads for real, compute the standard cheap audio
+    descriptors (duration, RMS, peak, zero-crossing rate on the channel
+    mean). Arrow-batched mapInPandas, batch-tolerant: undecodable payloads
+    (compressed codecs, garbage) yield decoded=false rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id", "decoded", "sample_rate", "n_channels",
+            "duration_ms", "rms", "peak", "zero_crossing_rate",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    rate, x = decode_wav(bytes(payload or b""))
+                except ValueError:
+                    out["decoded"].append(False)
+                    for k in cols[2:]:
+                        out[k].append(None)
+                    continue
+                mono = x.mean(axis=1)
+                out["decoded"].append(True)
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(x.shape[1]))
+                out["duration_ms"].append(int(round(x.shape[0] * 1000.0 / rate)))
+                out["rms"].append(float(np.sqrt((mono**2).mean())) if len(mono) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if x.size else 0.0)
+                zc = (
+                    float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                    if len(mono) > 1
+                    else 0.0
+                )
+                out["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -113,6 +113,28 @@ def test_path_over_store_matches_in_memory(spark):
     assert mem.exceptAll(stored).count() == 0
 
 
+def test_store_query_restores_session_confs(spark):
+    """kg_path_bucketed must leave no trace: the two bucketed-scan planner
+    confs restored, its catalog tables dropped (regression for the round-4
+    leak where every later query in a bench session ran with
+    autoBucketedScan disabled)."""
+    from casualty_linking_spark import queries
+
+    keys = [
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    tables_before = {t.name for t in spark.catalog.listTables()}
+    out = queries.q_property_path_bucketed(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0  # result survives the store drop (checkpointed)
+    assert {k: spark.conf.get(k, None) for k in keys} == before
+    leaked = {
+        t.name for t in spark.catalog.listTables()
+    } - tables_before
+    assert not {t for t in leaked if t.startswith("kgstore_")}, leaked
+
+
 def test_point_lookup_prunes_buckets(spark, store):
     """The SPARQL point-lookup idioms (graph[:pred:obj] / graph.value) over
     the store read ONE bucket of n, not the table: equality on the bucket

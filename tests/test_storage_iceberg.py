@@ -36,3 +36,19 @@ def test_iceberg_partitioned_roundtrip(spark):
     # idempotent re-create (the pipeline's overwrite contract)
     write_table_iceberg(df, "spark_catalog.default.kg_test_triples", partition_by=["graph_kind"])
     assert spark.table("spark_catalog.default.kg_test_triples").count() == 2
+
+
+def test_write_table_scopes_overwrite_mode_conf(spark, tmp_path):
+    """write_table's dynamic-partition-overwrite conf must be scoped to the
+    write: session-global flips would silently change the overwrite
+    semantics of a caller's own partitioned writes."""
+    from casualty_linking_spark.plans.storage import write_table
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    df = spark.createDataFrame(
+        [("s1", "g1"), ("s2", "g2")], "subj string, graph_kind string"
+    )
+    write_table(df, str(tmp_path / "t"), partition_by=["graph_kind"])
+    assert spark.conf.get(key, None) == before
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 2

@@ -374,3 +374,80 @@ def test_decoder_roundtrip_property():
         assert bmp.shape == (h, w, 3) and (bmp == list(rgb)).all()
 
     check()
+
+
+def test_real_decode_wav():
+    """Pure-numpy WAV decode: hand-built RIFF bytes (independent of
+    encode_wav) with known 16-bit samples; 8-bit path; corrupt tolerance."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from casualty_linking_spark.operators.multimodal import decode_wav, encode_wav
+
+    # hand-built: mono 16-bit, rate 8000, samples [0, 16384, -16384, -32768]
+    pcm = struct.pack("<4h", 0, 16384, -16384, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    rate, x = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and x.shape == (4, 1)
+    assert np.allclose(x[:, 0], [0.0, 0.5, -0.5, -1.0])
+
+    # 8-bit unsigned: 128 -> 0.0, 255 -> ~1.0, 0 -> -1.0
+    pcm8 = bytes([128, 255, 0])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body8 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+    body8 += b"data" + struct.pack("<I", len(pcm8)) + pcm8
+    rate8, x8 = decode_wav(b"RIFF" + struct.pack("<I", len(body8)) + body8)
+    assert rate8 == 4000 and np.allclose(x8[:, 0], [0.0, 127 / 128, -1.0])
+
+    # round-trip through the encoder (stereo)
+    rng = np.random.default_rng(3)
+    s = rng.uniform(-0.9, 0.9, size=(50, 2)).astype(np.float32)
+    rate2, back = decode_wav(encode_wav(s, 16000))
+    assert rate2 == 16000 and back.shape == (50, 2)
+    assert np.abs(back - s).max() < 1e-4  # 16-bit quantization
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"garbage")
+    # non-PCM format code
+    fmtc = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bodyc = b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+    bodyc += b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(bodyc)) + bodyc)
+
+
+def test_audio_features_end_to_end(spark):
+    """mapInPandas audio stage: real WAV payloads decode with exact
+    duration/RMS/ZCR; non-audio rows are filtered; garbage payloads yield
+    decoded=false."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    # 1s of 8kHz square wave at +/-0.5 -> rms 0.5, zcr ~ 880/8000
+    t = np.arange(8000)
+    sq = np.where((t // 100) % 2 == 0, 0.5, -0.5).astype(np.float32)
+    rows = [
+        (1, "audio", "audio/wav", bytearray(encode_wav(sq, 8000)), None, None, 1000),
+        (2, "audio", "application/octet-stream", bytearray(b"not audio"), None, None, 5),
+        (3, "image", "image/png", bytearray(b"x"), 1, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    assert set(out) == {1, 2}  # image row filtered
+    a = out[1]
+    assert a.decoded and a.sample_rate == 8000 and a.n_channels == 1
+    assert a.duration_ms == 1000
+    assert abs(a.rms - 0.5) < 1e-3 and abs(a.peak - 0.5) < 1e-3
+    assert abs(a.zero_crossing_rate - 79 / 7999) < 1e-3
+    assert not out[2].decoded and out[2].rms is None
