@@ -131,3 +131,50 @@ def pii_profile(documents: DataFrame) -> DataFrame:
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
     )
+
+
+def ngram_grams_col(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` as an array (empty when the doc has
+    fewer than ``n`` words — NOT degenerate shorter grams). Tokenization is
+    the dedup family's words_col, so every text operator (and the DuckDB
+    oracles) shares one definition of "word"."""
+    from .dedup import words_col
+
+    w = words_col(text)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 4) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_matched_grams) for every corpus
+    document sharing at least one word ``n``-gram with any benchmark
+    document — the standard exact n-gram overlap check an LLM training
+    pipeline runs against eval sets before training (the published
+    description of this technique uses 8–13-gram overlap; ``n`` is a knob).
+
+    100 TB shape: the benchmark side is small by definition (eval sets), so
+    its distinct gram set BROADCASTS; the corpus is scanned ONCE, its grams
+    generated per-row (array_distinct before explode — per-doc dedup without
+    a shuffle), matched by broadcast hash join, and reduced by a map-side-
+    combining groupBy(doc_id). The corpus never shuffles except the tiny
+    matched subset. Both sides tokenize with the dedup family's words_col,
+    so the DuckDB oracle reproduces grams byte-for-byte."""
+    corp = corpus.select(
+        "doc_id", F.explode(ngram_grams_col(F.col("text"), n)).alias("gram")
+    )
+    bench = (
+        benchmark.select(F.explode(ngram_grams_col(F.col("text"), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )

@@ -1910,6 +1910,45 @@ SELECT doc_id,
 FROM injected"""
 
 
+# decontamination n-gram size: the synthetic docs are 10-99 words over a
+# ~30-word vocabulary, so 4-grams give real (non-trivial, non-empty) overlap
+# at every test SF; a production run against natural text uses 8-13.
+DECONTAM_N = 4
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data decontamination under the oracle: corpus docs sharing >= 1
+    word 4-gram with the 'benchmark' slice (doc_id % 50 == 0) are flagged
+    with their distinct matched-gram count. Benchmark gram set broadcasts;
+    the corpus is scanned once and never shuffles except the matched rows
+    (operators/text_analysis.ngram_contamination)."""
+    from .operators.text_analysis import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=DECONTAM_N,
+    )
+
+
+def oracle_text_decontaminate() -> str:
+    k = DECONTAM_N - 1  # DuckDB list slice w[i : i+k] is INCLUSIVE -> n items
+    return f"""
+WITH dwords AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), w -> w != '') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - {k}),
+         i -> array_to_string(w[i : i + {k}], ' '))) AS g
+  FROM dwords WHERE len(w) >= {DECONTAM_N}),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_grams
+FROM corp JOIN bench USING (gram)
+GROUP BY doc_id"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import document_profile
 
@@ -2324,6 +2363,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_streaming_sessions": (q_kg_streaming_sessions, oracle_kg_streaming_sessions),
     "text_profile": (q_text_profile, oracle_text_profile),
     "text_redact": (q_text_redact, oracle_text_redact),
+    "text_decontaminate": (q_text_decontaminate, oracle_text_decontaminate),
     "events_rollup": (q_events_rollup, oracle_events_rollup),
     "events_sessions": (q_events_sessions, oracle_events_sessions),
     "events_percentiles": (q_events_percentiles, oracle_events_percentiles),

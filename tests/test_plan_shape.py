@@ -138,3 +138,19 @@ def test_single_scan_candidate_generation(spark):
         assert plan.count("FileScan") <= 2, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """ngram_contamination: the benchmark gram set must broadcast and the
+    corpus-side gram stream must reach the join WITHOUT a shuffle — at
+    100 TB the corpus is the big side and only the matched subset may
+    shuffle (the final groupBy)."""
+    from casualty_linking_spark.queries import q_text_decontaminate
+
+    df = q_text_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # only small-side shuffles allowed: benchmark-gram distinct + final
+    # per-doc agg; the corpus scan side must not add a third
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
