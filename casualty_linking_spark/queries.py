@@ -1949,6 +1949,44 @@ FROM corp JOIN bench USING (gram)
 GROUP BY doc_id"""
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter metrics (Gopher-style duplicate
+    n-gram fractions) — a pure projection, zero shuffle."""
+    from .operators.text_analysis import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
+def oracle_text_repetition() -> str:
+    def g(n: int) -> str:
+        k = n - 1
+        return (
+            f"CASE WHEN len(w) >= {n} THEN list_transform(generate_series(1, len(w) - {k}), "
+            f"i -> array_to_string(w[i : i + {k}], ' ')) ELSE [] END"
+        )
+
+    def dup(arr: str) -> str:
+        return (
+            f"round(CASE WHEN len({arr}) > 0 "
+            f"THEN 1.0 - len(list_distinct({arr})) * 1.0 / len({arr}) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    return f"""
+WITH dwords AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x != '') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+         {dup('w')} AS dup_word_frac,
+         {dup(g(2))} AS dup_2gram_frac,
+         {dup(g(3))} AS dup_3gram_frac
+  FROM dwords)
+SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       (dup_2gram_frac > 0.05 OR dup_3gram_frac > 0.02) AS repetitive
+FROM m"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import document_profile
 
@@ -2364,6 +2402,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "text_profile": (q_text_profile, oracle_text_profile),
     "text_redact": (q_text_redact, oracle_text_redact),
     "text_decontaminate": (q_text_decontaminate, oracle_text_decontaminate),
+    "text_repetition": (q_text_repetition, oracle_text_repetition),
     "events_rollup": (q_events_rollup, oracle_events_rollup),
     "events_sessions": (q_events_sessions, oracle_events_sessions),
     "events_percentiles": (q_events_percentiles, oracle_events_percentiles),
