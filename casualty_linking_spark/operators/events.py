@@ -91,3 +91,44 @@ def stream_hourly_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def asof_join(events: DataFrame, left_type: str, right_type: str) -> DataFrame:
+    """Per-user as-of join: each ``left_type`` event matched to the same
+    user's most recent ``right_type`` event at-or-before it (NULLs when
+    none precede it) — the time-series enrichment join (attribution,
+    feature lookup) that Spark has no native operator for and a naive
+    range self-join does in O(n^2) per user.
+
+    Composition shape: union-tag both event sets, ONE shuffle by user_id,
+    and a running ``last(..., ignorenulls)`` carry-forward over the
+    ts-ordered window — O(n log n) per user, no join at all. At equal ts
+    the right row orders first (is_left ascending), matching the <=
+    contract; lag is exact integer microseconds (unix_micros) so the
+    DuckDB oracle — which recomputes this with its NATIVE ASOF JOIN, an
+    independent implementation — hash-matches without float truncation
+    games."""
+    e = events.filter(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id", "ts", "user_id", (F.col("event_type") == left_type).alias("is_left")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_id = F.when(~F.col("is_left"), F.col("event_id"))
+    right_ts = F.when(~F.col("is_left"), F.col("ts"))
+    return (
+        e.withColumn("matched_event_id", F.last(right_id, ignorenulls=True).over(w))
+        .withColumn("matched_ts", F.last(right_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_left"))
+        .select(
+            "event_id", "ts", "user_id", "matched_event_id", "matched_ts",
+            # timestampdiff is timezone-free (ts is TIMESTAMP_NTZ here) and
+            # exact in integer microseconds — per-side float truncation
+            # would disagree with the oracle by ±1 on fractional seconds
+            F.expr("timestampdiff(MICROSECOND, matched_ts, ts)").alias("lag_us"),
+        )
+    )

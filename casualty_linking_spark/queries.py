@@ -1655,6 +1655,27 @@ SELECT user_id, min(ts) AS session_start,
 FROM g GROUP BY user_id, sid"""
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join under the oracle: every purchase matched to the user's
+    most recent prior-or-simultaneous view. Spark side is the union-tag +
+    carry-forward-window composition (operators/events.asof_join, one
+    shuffle); the oracle is DuckDB's NATIVE ASOF JOIN — two independent
+    implementations of the same contract."""
+    from .operators.events import asof_join
+
+    return asof_join(_events(spark, sf_dir), "purchase", "view")
+
+
+def oracle_events_asof() -> str:
+    return """
+WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.ts, l.user_id,
+       r.event_id AS matched_event_id, r.ts AS matched_ts,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def q_events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming rollup under the batch oracle: the events parquet is
     re-landed as a file stream, a watermarked windowed agg runs availableNow
@@ -2405,6 +2426,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "text_repetition": (q_text_repetition, oracle_text_repetition),
     "events_rollup": (q_events_rollup, oracle_events_rollup),
     "events_sessions": (q_events_sessions, oracle_events_sessions),
+    "events_asof": (q_events_asof, oracle_events_asof),
     "events_percentiles": (q_events_percentiles, oracle_events_percentiles),
     "events_running": (q_events_running, oracle_events_running),
     "events_streaming_rollup": (q_events_streaming_rollup, oracle_events_rollup),

@@ -154,3 +154,15 @@ def test_decontamination_broadcasts_benchmark(spark):
     # per-doc agg; the corpus scan side must not add a third
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_joinless_single_shuffle(spark):
+    """asof_join: the union-tag + carry-forward-window composition must
+    plan with NO join operator (a naive as-of is an O(n^2)-per-user range
+    self-join) and only the user_id window shuffle + loader spread."""
+    from casualty_linking_spark.queries import q_events_asof
+
+    df = q_events_asof(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
