@@ -28,7 +28,7 @@ Hashes are md5-based so the DuckDB oracle can reproduce them bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 N_HASHES = 12
 BAND_SIZE = 3  # 4 bands of 3 -> s-curve threshold ~ (1/4)^(1/3) ≈ 0.63
@@ -351,6 +351,92 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
+
+
+def incremental_dedup(
+    corpus: DataFrame, batch: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """(doc_id, exact_dup_of, near_dup_of, near_jaccard, verdict) — dedup an
+    INCOMING BATCH against an EXISTING corpus, the shape a continuously-fed
+    training pipeline actually runs: the corpus is never re-paired against
+    itself (that was done when each earlier batch arrived), only batch-vs-
+    corpus candidates are generated.
+
+    Per batch document:
+    * ``exact_dup_of``  — smallest corpus doc_id with identical text
+      (md5, null-safe so NULL-text batch docs match NULL-text corpus docs);
+    * ``near_dup_of``   — the corpus doc sharing a minhash band whose exact
+      shingle Jaccard is highest (≥ threshold; ties to smallest doc_id),
+      with the score in ``near_jaccard``;
+    * ``verdict``       — 'exact' > 'near' > 'unique'.
+
+    Scale: everything corpus-sided here is a FINGERPRINT (hash groups, band
+    keys, shingle sets) — in production those live as persisted index tables
+    maintained per batch (cf. ivf_write/ivf_append for the vector analogue),
+    so a batch ingest reads the band-key index bucketed by key instead of
+    re-fingerprinting 100 TB. The joins are one-sided: the batch side is
+    orders of magnitude smaller, so its bands/hashes broadcast, the corpus
+    side streams, and corpus shingles are fetched only for the candidate
+    subset that survived the band join (semi-join pattern below)."""
+    # exact tier: corpus hash groups (min id per hash), batch probes them
+    cgroups = (
+        corpus.select(F.md5("text").alias("chash"), "doc_id")
+        .groupBy("chash")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("bhash"))
+        .join(F.broadcast(cgroups), F.col("bhash").eqNullSafe(F.col("chash")), "left")
+        .select("doc_id", "exact_dup_of")
+    )
+
+    # near tier: batch band keys probe the corpus band index
+    cband = lsh_bands(corpus).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+    )
+    bband = lsh_bands(batch)
+    cands = (
+        cband.join(F.broadcast(bband), ["band_idx", "band_key"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    bsh = batch.select("doc_id", shingles_col(F.col("text")).alias("sh_b"))
+    csh = corpus.select(
+        F.col("doc_id").alias("corpus_id"), shingles_col(F.col("text")).alias("sh_c")
+    )
+    verified = (
+        cands.join(csh, "corpus_id")  # corpus shingles: candidate subset only
+        .join(F.broadcast(bsh), "doc_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+            / F.size(F.array_union("sh_b", "sh_c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id").asc()
+    )
+    near = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("corpus_id").alias("near_dup_of"),
+            F.round("jaccard", 6).alias("near_jaccard"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique")),
+        )
+    )
 
 
 def near_dup_clusters(documents: DataFrame) -> DataFrame:

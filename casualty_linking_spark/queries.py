@@ -2382,6 +2382,177 @@ FROM cand WHERE list_cosine_similarity(va, vb) >= 0.2"""
 
 
 # ---------------------------------------------------------------------------
+# training-data curation (operators/curation.py): split / quota sample /
+# sequence packing / semantic dedup
+# ---------------------------------------------------------------------------
+
+# strata are (lang, source) ~100 combos; sf0.01 stratum sizes are 1..16, so
+# the quota must sit inside that range for the filter to be data-dependent
+# at the driver's check SF (40 would pass everything through untested)
+CURATION_QUOTA = 8
+CURATION_PACK_BUDGET = 256
+CURATION_PACK_SHARDS = 8
+SEMDEDUP_TAU = 0.2
+
+
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir))
+
+
+def oracle_curation_split() -> str:
+    from .operators.curation import duckdb_hash_bucket
+
+    b = duckdb_hash_bucket("doc_id")
+    return f"""
+SELECT doc_id, lang, source, CAST({b} AS INT) AS bucket,
+       CASE WHEN {b} < 192 THEN 'train'
+            WHEN {b} < 224 THEN 'val' ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_curation_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir), quota=CURATION_QUOTA)
+
+
+def oracle_curation_quota() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS sample_rank
+  FROM documents)
+SELECT doc_id, lang, source, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= {CURATION_QUOTA}"""
+
+
+def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=CURATION_PACK_BUDGET, n_shards=CURATION_PACK_SHARDS
+    )
+
+
+def oracle_curation_pack() -> str:
+    from .operators.curation import duckdb_hash_bucket
+
+    shard = duckdb_hash_bucket("doc_id", buckets=CURATION_PACK_SHARDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {shard} AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER win AS pos,
+         sum(n_tokens) OVER win AS cum
+  FROM d
+  WINDOW win AS (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT doc_id, CAST(shard AS INT) AS shard, CAST(pos AS INT) AS pos,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(shard AS BIGINT) * 1000000
+         + CAST(floor((cum - n_tokens) / {CURATION_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+FROM w"""
+
+
+# incoming-batch split for the incremental dedup contract: the curation
+# "test" bucket (md5 bucket >= 224, ~12.5%) plays the newly-arrived batch,
+# the rest is the existing corpus — deterministic and scale-proportional
+INCR_BATCH_EDGE = 224
+INCR_JACCARD = 0.5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import hash_bucket
+    from .operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    return incremental_dedup(
+        docs.filter(b < INCR_BATCH_EDGE),
+        docs.filter(b >= INCR_BATCH_EDGE),
+        jaccard_threshold=INCR_JACCARD,
+    )
+
+
+def oracle_dedup_incremental() -> str:
+    from .operators.curation import duckdb_hash_bucket
+
+    bkt = duckdb_hash_bucket("doc_id")
+    return f"""
+WITH {_SHINGLE_CTES},
+batch AS (SELECT doc_id FROM documents WHERE {bkt} >= {INCR_BATCH_EDGE}),
+corpus AS (SELECT doc_id FROM documents WHERE {bkt} < {INCR_BATCH_EDGE}),
+dhash AS (SELECT doc_id, md5(text) AS h FROM documents),
+exact AS (
+  SELECT bh.doc_id, min(ch.doc_id) AS exact_dup_of
+  FROM dhash bh JOIN batch USING (doc_id)
+  JOIN (SELECT dhash.* FROM dhash JOIN corpus USING (doc_id)) ch
+    ON bh.h IS NOT DISTINCT FROM ch.h
+  GROUP BY bh.doc_id),
+cand AS (
+  SELECT DISTINCT bb.doc_id, cb.doc_id AS corpus_id
+  FROM dbands bb JOIN batch USING (doc_id)
+  JOIN (SELECT dbands.* FROM dbands JOIN corpus USING (doc_id)) cb
+    ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key),
+ver AS (
+  SELECT cand.doc_id, cand.corpus_id,
+         CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(bs.sh, cs.sh))) AS DOUBLE) AS jacc
+  FROM cand
+  JOIN dshingles bs ON bs.doc_id = cand.doc_id
+  JOIN dshingles cs ON cs.doc_id = cand.corpus_id),
+near AS (
+  SELECT doc_id, corpus_id AS near_dup_of, jacc FROM (
+    SELECT ver.*, row_number() OVER (PARTITION BY doc_id
+             ORDER BY jacc DESC, corpus_id ASC) AS rn
+    FROM ver WHERE jacc >= {INCR_JACCARD}) WHERE rn = 1)
+SELECT b.doc_id, e.exact_dup_of, n.near_dup_of, round(n.jacc, 6) AS near_jaccard,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM batch b
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)"""
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), tau=SEMDEDUP_TAU)
+
+
+def oracle_dedup_semantic() -> str:
+    from .operators.similarity_search import N_IVF_CELLS
+
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {N_IVF_CELLS}),
+cassign AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT c.vec_id, c.v, t.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, t.cv) DESC, t.cell_id ASC) AS rn
+    FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM cassign a JOIN cassign b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_TAU}
+  GROUP BY b.vec_id)
+SELECT c.vec_id, c.cell_id, d.dup_of IS NULL AS kept, d.dup_of
+FROM cassign c LEFT JOIN dups d USING (vec_id)"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2438,6 +2609,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "ann_ivf_topk": (q_ann_ivf_topk, oracle_ann_ivf_topk),
     "ann_ivf_indexed": (q_ann_ivf_indexed, oracle_ann_ivf_topk),
     "emb_near_dup": (q_emb_near_dup, oracle_emb_near_dup),
+    "curation_split": (q_curation_split, oracle_curation_split),
+    "curation_quota": (q_curation_quota, oracle_curation_quota),
+    "curation_pack": (q_curation_pack, oracle_curation_pack),
+    "dedup_semantic": (q_dedup_semantic, oracle_dedup_semantic),
+    "dedup_incremental": (q_dedup_incremental, oracle_dedup_incremental),
 }
 
 

@@ -270,3 +270,60 @@ def test_near_dup_clusters_transitive(spark):
     assert comp[12] == comp[8] == 8
     untouched = [i for i in comp if i not in (0, 3000, 3001, 8, 12)]
     assert all(comp[i] == i for i in untouched)
+
+
+def test_incremental_dedup_tiers_and_precedence(spark):
+    """Planted batch-vs-corpus ingest: the exact tier (md5, null-safe), the
+    near tier (band candidates + exact-Jaccard argmax), 'exact' precedence
+    when both fire, and 'unique' for unmatched docs. The contract query
+    exercises the cross-split tiers that occur organically (sf0.1 has all
+    three verdicts); this pins the ones sparse at small SF."""
+    from casualty_linking_spark.operators.dedup import incremental_dedup
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_a_near = long_a.replace("alpha3", "ALTERED", 1)
+    corpus = spark.createDataFrame(
+        [
+            (10, long_a),
+            (11, long_a),            # duplicate group in the corpus itself
+            (12, "totally different words entirely"),
+            (13, None),              # NULL-text corpus doc
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, long_a),           # exact dup (and trivially near) -> 'exact', min id 10
+            (101, long_a_near),      # near dup of 10/11 -> argmax jaccard, tie -> min id
+            (102, "completely unrelated content here"),  # unique
+            (103, None),             # NULL text matches corpus NULL -> exact 13
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(corpus, batch).collect()}
+    assert len(out) == 4
+
+    assert out[100].verdict == "exact" and out[100].exact_dup_of == 10
+    assert out[101].verdict == "near" and out[101].exact_dup_of is None
+    assert out[101].near_dup_of == 10 and 0.5 <= out[101].near_jaccard < 1.0
+    assert out[102].verdict == "unique"
+    assert out[102].exact_dup_of is None and out[102].near_dup_of is None
+    assert out[103].verdict == "exact" and out[103].exact_dup_of == 13
+
+
+def test_incremental_dedup_batch_never_pairs_with_itself(spark):
+    """Two identical docs arriving in the SAME batch are both 'unique' when
+    the corpus holds no copy — intra-batch dedup is the following round's
+    corpus-vs-batch job, not this operator's (it must not silently collapse
+    a batch internally)."""
+    from casualty_linking_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text that matches nothing")], "doc_id long, text string"
+    )
+    twin = " ".join(f"tok{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [(200, twin), (201, twin)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.verdict for r in incremental_dedup(corpus, batch).collect()}
+    assert out == {200: "unique", 201: "unique"}
