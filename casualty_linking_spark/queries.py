@@ -2461,6 +2461,98 @@ SELECT doc_id, CAST(shard AS INT) AS shard, CAST(pos AS INT) AS pos,
 FROM w"""
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the CONSTRUCTED KG: fixed-point PageRank on the
+    (subj)->(uri obj) edge set of the casualties graph — surfaces the
+    most-connected entities (municipalities, cemeteries, enum URIs). The
+    integer formulation is engine-exact, so the full 6-round iteration is
+    value-hash-checked against an unrolled DuckDB recurrence (same
+    discipline as kg_connected_components' unrolled min-label oracle)."""
+    from .operators.graph_rank import pagerank_fixed_point
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    edges = g.filter(F.col("obj_type") == "uri").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return pagerank_fixed_point(edges)
+
+
+def oracle_kg_pagerank() -> str:
+    from .operators.graph_rank import DAMPING_PCT, N_ITER, SCALE
+
+    d = DAMPING_PCT
+    parts = [
+        f"cas AS MATERIALIZED ({oracle_triples_casualties()})",
+        "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM cas WHERE obj_type = 'uri')",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM v)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"pr0 AS (SELECT vertex, CAST({SCALE} // n AS BIGINT) AS pr FROM v CROSS JOIN nn)",
+    ]
+    for k in range(1, N_ITER + 1):
+        parts.append(
+            f"pr{k} AS (SELECT v.vertex, CAST((({100 - d}) * ({SCALE} // nn.n)) // 100"
+            f" + ({d} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr\n"
+            f"  FROM v CROSS JOIN nn LEFT JOIN (\n"
+            f"    SELECT e.dst, sum(p.pr // od.outdeg) AS s\n"
+            f"    FROM e JOIN pr{k - 1} p ON e.src = p.vertex JOIN od ON e.src = od.src\n"
+            f"    GROUP BY e.dst) s ON v.vertex = s.dst)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vertex, pr FROM pr{N_ITER}"
+
+
+# sliding context window for training-example construction from transcripts
+TRANSCRIPT_CTX_TURNS = 3
+
+
+def q_transcripts_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example construction straight from the transcript table: for
+    every turn, the previous up-to-K turns rendered as a 'role: text'
+    context block — the SFT-example assembly step of a conversation-data
+    pipeline. One window over (conv_id, turn_idx): a single shuffle on
+    conv_id, per-conversation state bounded by K, order made deterministic
+    by sorting the collected structs on turn_idx (never relying on frame
+    arrival order)."""
+    from pyspark.sql import Window
+
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-TRANSCRIPT_CTX_TURNS, -1)
+    )
+    ctx = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")).over(w))
+    with_ctx = t.select("conv_id", "turn_idx", "role", ctx.alias("ctx"))
+    return with_ctx.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.size("ctx").alias("n_ctx"),
+        F.array_join(
+            F.transform(
+                "ctx",
+                lambda x: F.concat(x["role"], F.lit(": "), F.coalesce(x["text"], F.lit(""))),
+            ),
+            "\n",
+        ).alias("context"),
+    )
+
+
+def oracle_transcripts_context() -> str:
+    return synth.oracle_prelude() + f"""
+SELECT conv_id, turn_idx, role,
+       CAST(COALESCE(len(ctx), 0) AS INT) AS n_ctx,
+       COALESCE(array_to_string(list_transform(list_sort(ctx),
+           x -> x.role || ': ' || COALESCE(x.text, '')), chr(10)), '') AS context
+FROM (
+  SELECT conv_id, turn_idx, role,
+         list(struct_pack(turn_idx := turn_idx, role := role, text := text))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {TRANSCRIPT_CTX_TURNS} PRECEDING AND 1 PRECEDING) AS ctx
+  FROM transcripts) t"""
+
+
 # incoming-batch split for the incremental dedup contract: the curation
 # "test" bucket (md5 bucket >= 224, ~12.5%) plays the newly-arrived batch,
 # the rest is the existing corpus — deterministic and scale-proportional
@@ -2614,6 +2706,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "curation_pack": (q_curation_pack, oracle_curation_pack),
     "dedup_semantic": (q_dedup_semantic, oracle_dedup_semantic),
     "dedup_incremental": (q_dedup_incremental, oracle_dedup_incremental),
+    "kg_pagerank": (q_kg_pagerank, oracle_kg_pagerank),
+    "transcripts_context": (q_transcripts_context, oracle_transcripts_context),
 }
 
 

@@ -1,0 +1,75 @@
+"""Semantics tests for fixed-point PageRank + degree profile
+(operators/graph_rank.py): hand-computed recurrence on a tiny graph,
+integer-mass invariants on the real KG edge set, degree profile fold."""
+
+from pyspark.sql import functions as F
+
+from casualty_linking_spark.operators.graph_rank import (
+    DAMPING_PCT, N_ITER, SCALE, entity_degrees, pagerank_fixed_point,
+)
+
+
+def _hand_pagerank(edges, n_iter=N_ITER, d=DAMPING_PCT, scale=SCALE):
+    """Reference implementation of the exact integer recurrence."""
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outdeg = {}
+    for s, _ in set(edges):
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in verts}
+    base = ((100 - d) * (scale // n)) // 100
+    for _ in range(n_iter):
+        push = {v: 0 for v in verts}
+        for s, t in set(edges):
+            push[t] += r[s] // outdeg[s]
+        r = {v: base + (d * push[v]) // 100 for v in verts}
+    return r
+
+
+def test_pagerank_matches_hand_recurrence(spark):
+    edges = [("a", "b"), ("b", "a"), ("c", "b"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.vertex: r.pr for r in pagerank_fixed_point(df).collect()}
+    assert got == _hand_pagerank(edges)
+    # sink-heavy vertices outrank the dangling-ish tail
+    assert got["b"] > got["c"] > got["d"]
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """Multi-edges must not double-push (DISTINCT edge set contract)."""
+    once = [("a", "b"), ("b", "a")]
+    dup = once + [("a", "b")] * 3
+    d1 = spark.createDataFrame(once, "src string, dst string")
+    d2 = spark.createDataFrame(dup, "src string, dst string")
+    assert (
+        {r.vertex: r.pr for r in pagerank_fixed_point(d1).collect()}
+        == {r.vertex: r.pr for r in pagerank_fixed_point(d2).collect()}
+    )
+
+
+def test_pagerank_mass_bounded_on_kg_edges(spark):
+    """On the real constructed-KG edge set: one row per vertex, positive
+    ranks, and total fixed-point mass never exceeds SCALE (floor division
+    and dropped dangling mass only ever lose units, never mint them)."""
+    from casualty_linking_spark import dims
+    from casualty_linking_spark.operators.triples import records_to_triples
+    from casualty_linking_spark.queries import build_silver
+
+    rec = build_silver(spark, "/root/testdata/sf0.001")
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    edges = g.filter(F.col("obj_type") == "uri").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    pr = pagerank_fixed_point(edges)
+    rows = pr.collect()
+    assert len(rows) == len({r.vertex for r in rows})
+    assert all(r.pr > 0 for r in rows)
+    assert sum(r.pr for r in rows) <= SCALE
+
+
+def test_entity_degrees(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")], "src string, dst string"
+    )
+    got = {r.vertex: (r.out_degree, r.in_degree) for r in entity_degrees(df).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
