@@ -167,7 +167,12 @@ def semantic_dedup(
 
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     cents = centroids if centroids is not None else ivf_seed_centroids(embeddings, n_cells)
-    assigned = _assign_cells(e, "vec_id", "v", cents, n_keep=1)
+    # materialize the cell assignment once (lazy checkpoint): it feeds BOTH
+    # self-join sides and the final join-back, and the renamed projections
+    # defeat exchange reuse — without this the corpus-wide assignment
+    # expression runs three times (in production the assignment IS a
+    # persisted table, cf. ivf_write's partition keys)
+    assigned = _assign_cells(e, "vec_id", "v", cents, n_keep=1).localCheckpoint(eager=False)
 
     a = assigned.select(
         F.col("cell_id"), F.col("vec_id").alias("prior_id"), F.col("v").alias("pv")
