@@ -27,26 +27,59 @@ from .text_analysis import token_count_ws
 HEX = "0123456789abcdef"
 
 
-def hash_bucket(id_col: Column, buckets: int = 256) -> Column:
+def hash_bucket(id_col: Column, buckets: int = 256, salt: str = "") -> Column:
     """Deterministic bucket in [0, buckets) from the first two hex chars of
-    md5(id) — 256 base buckets, so ``buckets`` must divide into that space
-    evenly for unbiased splits (use 2/4/8/.../256). Pure projection: fuses
-    into any scan, zero shuffle, engine-independent (DuckDB renders the same
-    value via nibble lookup)."""
+    md5(id || salt) — 256 base buckets, so ``buckets`` must divide into that
+    space evenly for unbiased splits (use 2/4/8/.../256). Pure projection:
+    fuses into any scan, zero shuffle, engine-independent (DuckDB renders
+    the same value via nibble lookup). Independent sampling decisions over
+    the same ids (split vs mixture vs packing shard) use distinct ``salt``s
+    so their buckets are uncorrelated."""
     if not 1 <= buckets <= 256:
         raise ValueError(f"buckets must be in [1, 256], got {buckets}")
-    b = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast("int")
+    key = id_col.cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    b = F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
     return b % buckets if buckets < 256 else b
 
 
-def duckdb_hash_bucket(id_expr: str, buckets: int = 256) -> str:
+def duckdb_hash_bucket(id_expr: str, buckets: int = 256, salt: str = "") -> str:
     """DuckDB rendering of :func:`hash_bucket` (nibble-lookup hex parse)."""
-    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    key = f"CAST({id_expr} AS VARCHAR)"
+    if salt:
+        key = f"{key} || '{salt}'"
+    h = f"md5({key})"
     raw = (
         f"((instr('{HEX}', substr({h}, 1, 1)) - 1) * 16"
         f" + instr('{HEX}', substr({h}, 2, 1)) - 1)"
     )
     return raw if buckets == 256 else f"({raw} % {buckets})"
+
+
+MIXTURE_SALT = "|mix"
+
+
+def mixture_sample(
+    documents: DataFrame, weights: dict[str, float], default_weight: float = 1.0
+) -> DataFrame:
+    """(doc_id, lang, source) — deterministic data-mixing downsample: a
+    document from ``source`` s survives iff its salted hash bucket falls
+    below ``round(weights.get(s, default) * 256)``. This is how a training
+    mix ("keep 100% of books, 25% of web crawl, ...") is applied at corpus
+    scale: a zero-shuffle filter fused into the scan, reproducible (bucket
+    depends only on doc_id), stable under corpus growth, and salted
+    independently from :func:`corpus_split` so mixing never biases
+    train/val/test membership. Weights outside [0, 1] are rejected rather
+    than clamped silently."""
+    for s, w in {**weights, "<default>": default_weight}.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"mixture weight for {s!r} must be in [0, 1], got {w}")
+    b = hash_bucket(F.col("doc_id"), salt=MIXTURE_SALT)
+    edge = F.lit(round(default_weight * 256))
+    for s, w in sorted(weights.items()):
+        edge = F.when(F.col("source") == s, F.lit(round(w * 256))).otherwise(edge)
+    return documents.filter(b < edge).select("doc_id", "lang", "source")
 
 
 def corpus_split(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 FI_STOPWORDS = ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta"]
 EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
@@ -177,6 +177,40 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 4) -> 
         corp.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+
+
+def corpus_vocab(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """(word, n, rank, cum_frac) — the corpus vocabulary's ``top_n`` words
+    by frequency with rank and cumulative token coverage, the first step of
+    any tokenizer/vocab build and the standard corpus-drift report.
+
+    Scale shape: explode words → groupBy(word) count (map-side combine
+    collapses each mapper to one row per word, so the shuffle carries the
+    VOCABULARY, not the corpus) → distributed top-n (``orderBy().limit()``
+    plans as TakeOrdered: per-partition heaps, never a global sort) → the
+    rank/coverage window runs over only the ``top_n`` survivors (bounded,
+    single tiny partition by construction). The coverage denominator is the
+    FULL corpus token count, aggregated before the cut."""
+    words = documents.select(
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != "")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_frac",
+            F.round(
+                (F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+                .cast("double") / F.col("total").cast("double"),
+                6,
+            ),
+        )
+        .select("word", "n", "rank", "cum_frac")
     )
 
 

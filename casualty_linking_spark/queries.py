@@ -2553,6 +2553,61 @@ FROM (
   FROM transcripts) t"""
 
 
+# data-mixing spec for the contract query: several distinct keep-rates, one
+# source fully dropped (weight 0), remaining sources on the default rate
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+MIXTURE_DEFAULT = 0.5
+
+
+def q_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), MIXTURE_WEIGHTS, default_weight=MIXTURE_DEFAULT
+    )
+
+
+def oracle_curation_mixture() -> str:
+    from .operators.curation import MIXTURE_SALT, duckdb_hash_bucket
+
+    b = duckdb_hash_bucket("doc_id", salt=MIXTURE_SALT)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {round(w * 256)}" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {b} < CASE source {cases} ELSE {round(MIXTURE_DEFAULT * 256)} END"""
+
+
+# the synthetic corpus has ~31 distinct words, so the top-N cut must sit
+# below that to be data-dependent at the driver's check SFs
+VOCAB_TOP_N = 20
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import corpus_vocab
+
+    return corpus_vocab(_docs(spark, sf_dir), top_n=VOCAB_TOP_N)
+
+
+def oracle_corpus_vocab() -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> w != '')) AS word
+  FROM documents),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+tot AS (SELECT sum(n) AS total FROM counts),
+ranked AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rank,
+         sum(n) OVER (ORDER BY n DESC, word ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts)
+SELECT word, n, CAST(rank AS INT) AS rank,
+       round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+FROM ranked CROSS JOIN tot WHERE rank <= {VOCAB_TOP_N}"""
+
+
 # incoming-batch split for the incremental dedup contract: the curation
 # "test" bucket (md5 bucket >= 224, ~12.5%) plays the newly-arrived batch,
 # the rest is the existing corpus — deterministic and scale-proportional
@@ -2708,6 +2763,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_incremental": (q_dedup_incremental, oracle_dedup_incremental),
     "kg_pagerank": (q_kg_pagerank, oracle_kg_pagerank),
     "transcripts_context": (q_transcripts_context, oracle_transcripts_context),
+    "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
+    "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
 }
 
 

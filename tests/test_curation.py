@@ -219,3 +219,90 @@ def test_semantic_dedup_accepts_trained_centroids(spark):
     dropped = out[~out.kept]
     assert (dropped.dup_of < dropped.vec_id).all()
     assert out[out.kept].dup_of.isna().all()
+
+
+# --------------------------------------------------------------------------
+# mixture_sample
+# --------------------------------------------------------------------------
+
+def test_mixture_sample_rates_and_zero_weight(spark):
+    from casualty_linking_spark.operators.curation import (
+        MIXTURE_SALT, mixture_sample,
+    )
+
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    got = mixture_sample(_docs(spark), weights, default_weight=0.25).toPandas()
+    docs = _docs(spark).select("doc_id", "source").toPandas()
+
+    # zero-weight source fully dropped, weight-1.0 source fully kept
+    assert not (got.source == "src2").any()
+    assert (got.source == "src0").sum() == (docs.source == "src0").sum()
+
+    # independent recompute of the salted-bucket rule for every doc
+    kept = set(got.doc_id)
+    for r in docs.itertuples():
+        b = int(_md5(f"{r.doc_id}{MIXTURE_SALT}")[:2], 16)
+        edge = round(weights.get(r.source, 0.25) * 256)
+        assert (r.doc_id in kept) == (b < edge), (r.doc_id, r.source)
+
+
+def test_mixture_sample_is_zero_shuffle_and_validates(spark):
+    import pytest
+
+    from casualty_linking_spark.operators.curation import mixture_sample
+
+    df = mixture_sample(_docs(spark), {"src0": 0.5})
+    assert "Exchange" not in _plan(df), _plan(df)
+    with pytest.raises(ValueError, match="must be in \\[0, 1\\]"):
+        mixture_sample(_docs(spark), {"src0": 1.5})
+
+
+def test_mixture_salt_decorrelated_from_split(spark):
+    """Mixing must not bias split membership: among survivors of a 50%
+    mixture, the train fraction stays near the 75% nominal (same-hash
+    sampling would skew it hard)."""
+    from casualty_linking_spark.operators.curation import corpus_split, mixture_sample
+
+    kept = mixture_sample(_docs(spark), {}, default_weight=0.5).select("doc_id")
+    split = corpus_split(_docs(spark)).select("doc_id", "split")
+    frac = (
+        kept.join(split, "doc_id").toPandas().split.eq("train").mean()
+    )
+    assert 0.65 <= frac <= 0.85, frac
+
+
+# --------------------------------------------------------------------------
+# corpus_vocab
+# --------------------------------------------------------------------------
+
+def test_corpus_vocab_recomputed(spark):
+    from collections import Counter
+
+    from casualty_linking_spark.operators.text_analysis import corpus_vocab
+
+    top_n = 5
+    got = corpus_vocab(_docs(spark), top_n=top_n).toPandas()
+    docs = _docs(spark).select("text").toPandas()
+    cnt = Counter()
+    import re
+    for t in docs.text:
+        cnt.update(w for w in re.split(r"\W+", str(t).lower()) if w)
+    total = sum(cnt.values())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+
+    assert list(got.word) == [w for w, _ in expect]
+    assert list(got.n) == [n for _, n in expect]
+    assert list(got["rank"]) == list(range(1, top_n + 1))
+    cum = 0
+    for i, (_, n) in enumerate(expect):
+        cum += n
+        assert abs(got.cum_frac[i] - round(cum / total, 6)) < 1e-9
+
+
+def test_corpus_vocab_plans_take_ordered(spark):
+    """The top-n must be a distributed TakeOrdered, never a global sort of
+    the vocabulary."""
+    from casualty_linking_spark.operators.text_analysis import corpus_vocab
+
+    plan = _plan(corpus_vocab(_docs(spark), top_n=10))
+    assert "TakeOrderedAndProject" in plan, plan
