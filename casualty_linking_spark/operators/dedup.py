@@ -354,21 +354,33 @@ def embedding_near_dup_pairs(
 
 
 def incremental_dedup(
-    corpus: DataFrame, batch: DataFrame, jaccard_threshold: float = 0.5
+    corpus: DataFrame,
+    batch: DataFrame,
+    jaccard_threshold: float = 0.5,
+    intra_batch: bool = False,
 ) -> DataFrame:
     """(doc_id, exact_dup_of, near_dup_of, near_jaccard, verdict) — dedup an
     INCOMING BATCH against an EXISTING corpus, the shape a continuously-fed
     training pipeline actually runs: the corpus is never re-paired against
     itself (that was done when each earlier batch arrived), only batch-vs-
-    corpus candidates are generated.
+    corpus candidates are generated — plus, with ``intra_batch=True``,
+    batch-vs-earlier-batch candidates (sequential-ingest semantics: a batch
+    doc also dedups against batch docs with a SMALLER doc_id, as if the
+    batch were ingested in id order).
 
     Per batch document:
-    * ``exact_dup_of``  — smallest corpus doc_id with identical text
-      (md5, null-safe so NULL-text batch docs match NULL-text corpus docs);
-    * ``near_dup_of``   — the corpus doc sharing a minhash band whose exact
-      shingle Jaccard is highest (≥ threshold; ties to smallest doc_id),
-      with the score in ``near_jaccard``;
+    * ``exact_dup_of``  — smallest doc_id with identical text among corpus
+      docs (any id) plus, when ``intra_batch``, batch docs with smaller id
+      (md5, null-safe so NULL-text docs group together);
+    * ``near_dup_of``   — the candidate doc (same eligibility rule) sharing
+      a minhash band whose exact shingle Jaccard is highest (≥ threshold;
+      ties to smallest doc_id), with the score in ``near_jaccard``;
     * ``verdict``       — 'exact' > 'near' > 'unique'.
+
+    Intra-batch candidates are ALL earlier batch docs, not just the ones
+    that themselves survived dedup — pointers may chain (C→B while B→A),
+    which keeps the tier a pure relational expression; retention decisions
+    collapse chains via ``near_dup_clusters``-style CC downstream.
 
     Scale: everything corpus-sided here is a FINGERPRINT (hash groups, band
     keys, shingle sets) — in production those live as persisted index tables
@@ -377,35 +389,78 @@ def incremental_dedup(
     re-fingerprinting 100 TB. The joins are one-sided: the batch side is
     orders of magnitude smaller, so its bands/hashes broadcast, the corpus
     side streams, and corpus shingles are fetched only for the candidate
-    subset that survived the band join (semi-join pattern below)."""
+    subset that survived the band join (semi-join pattern below). The
+    intra tier touches only batch-sided data (a window + a self-join of the
+    already-built batch bands), adding nothing corpus-scaled."""
     # exact tier: corpus hash groups (min id per hash), batch probes them
     cgroups = (
         corpus.select(F.md5("text").alias("chash"), "doc_id")
         .groupBy("chash")
         .agg(F.min("doc_id").alias("exact_dup_of"))
     )
-    exact = (
-        batch.select("doc_id", F.md5("text").alias("bhash"))
-        .join(F.broadcast(cgroups), F.col("bhash").eqNullSafe(F.col("chash")), "left")
-        .select("doc_id", "exact_dup_of")
-    )
+    bhash = batch.select("doc_id", F.md5("text").alias("bhash"))
+    exact = bhash.join(
+        F.broadcast(cgroups), F.col("bhash").eqNullSafe(F.col("chash")), "left"
+    ).select("doc_id", "exact_dup_of")
+    if intra_batch:
+        # smallest EARLIER batch id with the same hash (window partitions
+        # NULL hashes as one group — same null-safe grouping as the join)
+        wprev = (
+            Window.partitionBy("bhash")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        iexact = bhash.select(
+            "doc_id", F.min("doc_id").over(wprev).alias("intra_exact")
+        )
+        exact = (
+            exact.join(iexact, "doc_id")
+            .withColumn(
+                "exact_dup_of",
+                F.when(
+                    F.col("exact_dup_of").isNull(), F.col("intra_exact")
+                ).when(
+                    F.col("intra_exact").isNull(), F.col("exact_dup_of")
+                ).otherwise(F.least("exact_dup_of", "intra_exact")),
+            )
+            .select("doc_id", "exact_dup_of")
+        )
 
     # near tier: batch band keys probe the corpus band index
     cband = lsh_bands(corpus).select(
-        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+        F.col("doc_id").alias("cand_id"), "band_idx", "band_key"
     )
     bband = lsh_bands(batch)
     cands = (
         cband.join(F.broadcast(bband), ["band_idx", "band_key"])
-        .select("doc_id", "corpus_id")
+        .select("doc_id", "cand_id")
         .distinct()
     )
     bsh = batch.select("doc_id", shingles_col(F.col("text")).alias("sh_b"))
     csh = corpus.select(
-        F.col("doc_id").alias("corpus_id"), shingles_col(F.col("text")).alias("sh_c")
+        F.col("doc_id").alias("cand_id"), shingles_col(F.col("text")).alias("sh_c")
     )
+    cand_sh = csh
+    if intra_batch:
+        icands = (
+            bband.join(
+                F.broadcast(
+                    bband.select(
+                        F.col("doc_id").alias("cand_id"), "band_idx", "band_key"
+                    )
+                ),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("cand_id") < F.col("doc_id"))
+            .select("doc_id", "cand_id")
+            .distinct()
+        )
+        cands = cands.unionByName(icands)
+        cand_sh = csh.unionByName(
+            bsh.select(F.col("doc_id").alias("cand_id"), F.col("sh_b").alias("sh_c"))
+        )
     verified = (
-        cands.join(csh, "corpus_id")  # corpus shingles: candidate subset only
+        cands.join(cand_sh, "cand_id")  # candidate-subset shingles only
         .join(F.broadcast(bsh), "doc_id")
         .withColumn(
             "jaccard",
@@ -415,14 +470,14 @@ def incremental_dedup(
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("corpus_id").asc()
+        F.col("jaccard").desc(), F.col("cand_id").asc()
     )
     near = (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",
-            F.col("corpus_id").alias("near_dup_of"),
+            F.col("cand_id").alias("near_dup_of"),
             F.round("jaccard", 6).alias("near_jaccard"),
         )
     )

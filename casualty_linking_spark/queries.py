@@ -2669,6 +2669,88 @@ LEFT JOIN exact e USING (doc_id)
 LEFT JOIN near n USING (doc_id)"""
 
 
+# the intra-batch variant uses a HALF-corpus batch (bucket >= 128) so
+# intra-batch duplicate pairs occur organically at the check SFs — with the
+# 12.5% batch the odds of both members of a planted dup family landing in
+# the batch are ~1.5% per pair
+INCR_INTRA_EDGE = 128
+
+
+def q_dedup_incremental_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import hash_bucket
+    from .operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    return incremental_dedup(
+        docs.filter(b < INCR_INTRA_EDGE),
+        docs.filter(b >= INCR_INTRA_EDGE),
+        jaccard_threshold=INCR_JACCARD,
+        intra_batch=True,
+    )
+
+
+def oracle_dedup_incremental_intra() -> str:
+    from .operators.curation import duckdb_hash_bucket
+
+    bkt = duckdb_hash_bucket("doc_id")
+    return f"""
+WITH {_SHINGLE_CTES},
+batch AS (SELECT doc_id FROM documents WHERE {bkt} >= {INCR_INTRA_EDGE}),
+corpus AS (SELECT doc_id FROM documents WHERE {bkt} < {INCR_INTRA_EDGE}),
+dhash AS (SELECT doc_id, md5(text) AS h FROM documents),
+cexact AS (
+  SELECT bh.doc_id, min(ch.doc_id) AS corpus_exact
+  FROM dhash bh JOIN batch USING (doc_id)
+  JOIN (SELECT dhash.* FROM dhash JOIN corpus USING (doc_id)) ch
+    ON bh.h IS NOT DISTINCT FROM ch.h
+  GROUP BY bh.doc_id),
+iexact AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY h ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS intra_exact
+  FROM dhash JOIN batch USING (doc_id)),
+exact AS (
+  SELECT b.doc_id,
+         CASE WHEN ce.corpus_exact IS NULL THEN ie.intra_exact
+              WHEN ie.intra_exact IS NULL THEN ce.corpus_exact
+              ELSE least(ce.corpus_exact, ie.intra_exact) END AS exact_dup_of
+  FROM batch b
+  LEFT JOIN cexact ce USING (doc_id)
+  LEFT JOIN iexact ie USING (doc_id)),
+ccand AS (
+  SELECT DISTINCT bb.doc_id, cb.doc_id AS cand_id
+  FROM dbands bb JOIN batch USING (doc_id)
+  JOIN (SELECT dbands.* FROM dbands JOIN corpus USING (doc_id)) cb
+    ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key),
+icand AS (
+  SELECT DISTINCT bb.doc_id, ib.doc_id AS cand_id
+  FROM dbands bb JOIN batch USING (doc_id)
+  JOIN (SELECT dbands.* FROM dbands JOIN batch USING (doc_id)) ib
+    ON bb.band_idx = ib.band_idx AND bb.band_key = ib.band_key
+  WHERE ib.doc_id < bb.doc_id),
+cand AS (SELECT * FROM ccand UNION ALL SELECT * FROM icand),
+ver AS (
+  SELECT cand.doc_id, cand.cand_id,
+         CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(bs.sh, cs.sh))) AS DOUBLE) AS jacc
+  FROM cand
+  JOIN dshingles bs ON bs.doc_id = cand.doc_id
+  JOIN dshingles cs ON cs.doc_id = cand.cand_id),
+near AS (
+  SELECT doc_id, cand_id AS near_dup_of, jacc FROM (
+    SELECT ver.*, row_number() OVER (PARTITION BY doc_id
+             ORDER BY jacc DESC, cand_id ASC) AS rn
+    FROM ver WHERE jacc >= {INCR_JACCARD}) WHERE rn = 1)
+SELECT b.doc_id, e.exact_dup_of, n.near_dup_of, round(n.jacc, 6) AS near_jaccard,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM batch b
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)"""
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import semantic_dedup
 
@@ -2761,6 +2843,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "curation_pack": (q_curation_pack, oracle_curation_pack),
     "dedup_semantic": (q_dedup_semantic, oracle_dedup_semantic),
     "dedup_incremental": (q_dedup_incremental, oracle_dedup_incremental),
+    "dedup_incremental_intra": (q_dedup_incremental_intra, oracle_dedup_incremental_intra),
     "kg_pagerank": (q_kg_pagerank, oracle_kg_pagerank),
     "transcripts_context": (q_transcripts_context, oracle_transcripts_context),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),

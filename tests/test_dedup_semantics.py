@@ -327,3 +327,51 @@ def test_incremental_dedup_batch_never_pairs_with_itself(spark):
     )
     out = {r.doc_id: r.verdict for r in incremental_dedup(corpus, batch).collect()}
     assert out == {200: "unique", 201: "unique"}
+
+
+def test_incremental_dedup_intra_batch_tiers(spark):
+    """intra_batch=True: sequential-ingest semantics. A batch doc also dedups
+    against EARLIER batch docs (smaller doc_id); the exact canonical is the
+    min over corpus copies (any id) and earlier batch copies; earlier batch
+    docs never point at later ones; NULL texts group null-safely intra-batch
+    too."""
+    from casualty_linking_spark.operators.dedup import incremental_dedup
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_a_near = long_a.replace("alpha3", "ALTERED", 1)
+    twin = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(50, long_a), (51, "totally different corpus words entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (5, long_a),        # matches corpus 50 AND is earliest batch copy
+            (200, twin),        # first twin -> unique
+            (201, twin),        # second twin -> exact dup of 200 (intra)
+            (202, long_a),      # copies at corpus 50 and batch 5 -> min = 5
+            (203, long_a_near), # near dup: candidates 50 (corpus), 5/202
+                                # (batch, equal jaccard) -> tie to min id 5
+            (204, None),        # first NULL -> unique (no NULL in corpus)
+            (205, None),        # second NULL -> exact dup of 204
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_dedup(corpus, batch, intra_batch=True).collect()
+    }
+    assert len(out) == 7
+    assert out[5].verdict == "exact" and out[5].exact_dup_of == 50
+    assert out[200].verdict == "unique"
+    assert out[201].verdict == "exact" and out[201].exact_dup_of == 200
+    assert out[202].verdict == "exact" and out[202].exact_dup_of == 5
+    assert out[203].verdict == "near" and out[203].exact_dup_of is None
+    assert out[203].near_dup_of == 5 and 0.5 <= out[203].near_jaccard < 1.0
+    assert out[204].verdict == "unique"
+    assert out[205].verdict == "exact" and out[205].exact_dup_of == 204
+
+    # default stays corpus-only: same input without the flag leaves the
+    # intra-only dups untouched
+    dflt = {r.doc_id: r.verdict for r in incremental_dedup(corpus, batch).collect()}
+    assert dflt[201] == "unique" and dflt[205] == "unique"
