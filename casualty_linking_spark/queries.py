@@ -2553,6 +2553,61 @@ FROM (
   FROM transcripts) t"""
 
 
+def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text dictionary mention detection over the transcript table: the
+    unit-label gazetteer matched against raw turn text (the north-star's
+    'batched mention detection' in its unstructured form — the structured
+    FIELD=value extractor is kg_records_silver's first stage). Corpus is
+    scanned once, windows broadcast-join the dim, overlap suppression is a
+    self-anti-join on the small match table only."""
+    from .operators.gazetteer import gazetteer_mentions
+
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    labels = dims.dim_unit_labels(spark).select(
+        F.col("unit_uri").alias("uri"), "label"
+    )
+    return gazetteer_mentions(t, labels, ["conv_id", "turn_idx"])
+
+
+def oracle_gazetteer_mentions() -> str:
+    return synth.oracle_prelude([dims.unit_labels_cte()]) + r"""
+, labn AS (
+  SELECT DISTINCT unit_uri AS uri,
+         array_to_string(lw, ' ') AS gram, len(lw) AS n_words
+  FROM (SELECT unit_uri,
+               list_filter(string_split_regex(lower(label), '\W+'), x -> x != '') AS lw
+        FROM unit_labels)
+  WHERE len(lw) > 0),
+nset AS (SELECT DISTINCT n_words AS n FROM labn),
+tw AS (
+  SELECT conv_id, turn_idx,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x != '') AS w
+  FROM transcripts),
+grams AS (
+  SELECT conv_id, turn_idx, g.start_tok, g.n_words, g.gram FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - ns.n + 1, 0)),
+             i -> struct_pack(start_tok := CAST(i AS INT),
+                              n_words := CAST(ns.n AS INT),
+                              gram := array_to_string(w[i : i + ns.n - 1], ' ')))) AS g
+    FROM tw CROSS JOIN nset ns)),
+matches AS (
+  SELECT DISTINCT g.conv_id, g.turn_idx, g.start_tok, g.n_words,
+         g.gram AS mention, l.uri
+  FROM grams g JOIN labn l ON g.gram = l.gram),
+kept AS (
+  SELECT m.* FROM matches m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matches o
+    WHERE o.conv_id = m.conv_id AND o.turn_idx = m.turn_idx
+      AND o.start_tok <= m.start_tok + m.n_words - 1
+      AND o.start_tok + o.n_words - 1 >= m.start_tok
+      AND (o.n_words > m.n_words
+           OR (o.n_words = m.n_words AND o.start_tok < m.start_tok))))
+SELECT * FROM kept"""
+
+
 # data-mixing spec for the contract query: several distinct keep-rates, one
 # source fully dropped (weight 0), remaining sources on the default rate
 MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
@@ -2846,6 +2901,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_incremental_intra": (q_dedup_incremental_intra, oracle_dedup_incremental_intra),
     "kg_pagerank": (q_kg_pagerank, oracle_kg_pagerank),
     "transcripts_context": (q_transcripts_context, oracle_transcripts_context),
+    "kg_gazetteer_mentions": (q_gazetteer_mentions, oracle_gazetteer_mentions),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
 }
