@@ -2569,14 +2569,18 @@ def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gazetteer_mentions(t, labels, ["conv_id", "turn_idx"])
 
 
-def oracle_gazetteer_mentions() -> str:
-    return synth.oracle_prelude([dims.unit_labels_cte()]) + r"""
+def _gazetteer_kept_sql(labels_select: str) -> str:
+    """CTE chain (labn..kept) for gazetteer matching over ``transcripts``,
+    given a 'SELECT <uri> AS uri, <label> AS label FROM ...' relation —
+    the ONE copy of the mention-detection semantics, shared by
+    oracle_gazetteer_mentions and oracle_entity_cooccurrence."""
+    return r"""
 , labn AS (
-  SELECT DISTINCT unit_uri AS uri,
+  SELECT DISTINCT uri,
          array_to_string(lw, ' ') AS gram, len(lw) AS n_words
-  FROM (SELECT unit_uri,
+  FROM (SELECT uri,
                list_filter(string_split_regex(lower(label), '\W+'), x -> x != '') AS lw
-        FROM unit_labels)
+        FROM (""" + labels_select + r"""))
   WHERE len(lw) > 0),
 nset AS (SELECT DISTINCT n_words AS n FROM labn),
 tw AS (
@@ -2604,8 +2608,81 @@ kept AS (
       AND o.start_tok <= m.start_tok + m.n_words - 1
       AND o.start_tok + o.n_words - 1 >= m.start_tok
       AND (o.n_words > m.n_words
-           OR (o.n_words = m.n_words AND o.start_tok < m.start_tok))))
-SELECT * FROM kept"""
+           OR (o.n_words = m.n_words AND o.start_tok < m.start_tok))))"""
+
+
+def oracle_gazetteer_mentions() -> str:
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte()])
+        + _gazetteer_kept_sql("SELECT unit_uri AS uri, label FROM unit_labels")
+        + "\nSELECT * FROM kept"
+    )
+
+
+def q_streaming_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention detection as an INCREMENTAL streaming job: the
+    stateless per-row formulation (literal dictionary map + array HOFs, zero
+    shuffle/join) over a file-source replay landed as many unordered files,
+    8-file triggers forcing multiple micro-batches. Stateless => loss-free
+    at any batching; the oracle is the batch mention SQL — identical rows
+    proves incremental == batch."""
+    import tempfile
+
+    from .operators.gazetteer import gazetteer_label_index, gazetteer_mentions_stateless
+    from .streaming.ingest import read_transcripts_stream
+
+    tmp = tempfile.mkdtemp(prefix="kg_gaz_stream_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    synth.transcripts_from_sf(spark, sf_dir).repartition(
+        SESSIONS_REPLAY_FILES, "conv_id"
+    ).write.mode("overwrite").parquet(inp)
+    labels = dims.dim_unit_labels(spark).select(F.col("unit_uri").alias("uri"), "label")
+    idx = gazetteer_label_index(labels)
+    out = gazetteer_mentions_stateless(
+        read_transcripts_stream(spark, inp), idx, ["conv_id", "turn_idx"]
+    )
+    (
+        out.writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(outp)
+
+
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection -> graph structure: co-occurrence edges between
+    gazetteer-detected entities (units + ranks) weighted by the number of
+    conversations mentioning both. Suppression scope stays the TURN (the
+    text unit); co-occurrence scope is the conversation."""
+    from .operators.gazetteer import entity_cooccurrence, gazetteer_mentions
+
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    labels = dims.dim_unit_labels(spark).select(
+        F.col("unit_uri").alias("uri"), "label"
+    ).unionByName(
+        dims.dim_rank_labels(spark).select(F.col("rank_uri").alias("uri"), "label")
+    )
+    m = gazetteer_mentions(t, labels, ["conv_id", "turn_idx"])
+    return entity_cooccurrence(m, ["conv_id"])
+
+
+def oracle_entity_cooccurrence() -> str:
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte(), dims.rank_labels_cte()])
+        + _gazetteer_kept_sql(
+            "SELECT unit_uri AS uri, label FROM unit_labels "
+            "UNION ALL SELECT rank_uri AS uri, label FROM rank_labels"
+        )
+        + """
+, ents AS (SELECT DISTINCT conv_id, uri FROM kept)
+SELECT a.uri AS uri_a, b.uri AS uri_b, CAST(count(*) AS BIGINT) AS n_units
+FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.uri < b.uri
+GROUP BY a.uri, b.uri"""
+    )
 
 
 # data-mixing spec for the contract query: several distinct keep-rates, one
@@ -2902,6 +2979,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_pagerank": (q_kg_pagerank, oracle_kg_pagerank),
     "transcripts_context": (q_transcripts_context, oracle_transcripts_context),
     "kg_gazetteer_mentions": (q_gazetteer_mentions, oracle_gazetteer_mentions),
+    "kg_entity_cooccurrence": (q_entity_cooccurrence, oracle_entity_cooccurrence),
+    "kg_streaming_gazetteer": (q_streaming_gazetteer, oracle_gazetteer_mentions),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
 }

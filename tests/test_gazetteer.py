@@ -72,6 +72,55 @@ def test_empty_dictionary_rejected(spark):
         gazetteer_mentions(texts, labels, ["doc"])
 
 
+def test_entity_cooccurrence_counts_and_canonical_direction(spark):
+    from casualty_linking_spark.operators.gazetteer import entity_cooccurrence
+
+    m = spark.createDataFrame(
+        [
+            (1, 0, "u:b"), (1, 1, "u:a"), (1, 1, "u:c"), (1, 2, "u:a"),  # dup mention
+            (2, 0, "u:a"), (2, 3, "u:b"),
+            (3, 0, "u:only"),  # single-entity unit -> no pair
+        ],
+        "conv long, turn int, uri string",
+    )
+    out = {(r.uri_a, r.uri_b): r.n_units
+           for r in entity_cooccurrence(m, ["conv"]).collect()}
+    assert out == {("u:a", "u:b"): 2, ("u:a", "u:c"): 1, ("u:b", "u:c"): 1}
+
+
+def test_stateless_form_matches_join_form_exactly(spark):
+    """The per-row (streaming-safe) formulation and the broadcast-join
+    formulation are the same operator: identical rows on a corpus that
+    exercises overlap suppression, same-span ambiguity, NULL/short texts,
+    and multi-id text units."""
+    from casualty_linking_spark.operators.gazetteer import (
+        gazetteer_label_index,
+        gazetteer_mentions_stateless,
+    )
+
+    labels = _labels(spark, [
+        ("u:jr8", "JR 8"), ("u:jr8_2k", "2./JR 8"), ("u:ratsur", "RatsuR"),
+        ("u:amb_a", "JP 6"), ("u:amb_b", "jp 6"),
+        ("u:ab", "alpha beta"), ("u:bg", "beta gamma"),
+    ])
+    texts = spark.createDataFrame(
+        [
+            (1, 0, "JOSNIMI=2./JR 8 and ratsur"),
+            (1, 1, "JP 6 with alpha beta gamma"),
+            (2, 0, None),
+            (2, 1, ""),
+            (2, 2, "jr"),
+            (3, 0, "JR 8 JR 8"),
+        ],
+        "conv long, turn int, text string",
+    )
+    ids = ["conv", "turn"]
+    a = sorted(map(tuple, gazetteer_mentions(texts, labels, ids).collect()))
+    idx = gazetteer_label_index(labels)
+    b = sorted(map(tuple, gazetteer_mentions_stateless(texts, idx, ids).collect()))
+    assert a == b and len(a) >= 6
+
+
 def test_corpus_side_never_shuffles_before_match(spark):
     """The candidate join must broadcast the dictionary: no Exchange between
     the text scan and the match join (corpus shuffles would be 100 TB)."""
