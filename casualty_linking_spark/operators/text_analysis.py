@@ -263,3 +263,61 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
         # around 0.2 for the 2-gram gate
         ((d2 > 0.05) | (d3 > 0.02)).alias("repetitive"),
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation shape/quality profile over the transcript table —
+    the conversation-level analogue of document_profile, feeding SFT-data
+    curation filters (drop truncated / tool-spam / monologue conversations).
+
+    One shuffle (groupBy conv_id) with map-side combine; every expression a
+    JVM built-in. Columns: turn counts by role, tool-call count, distinct
+    tool count, total/mean turn chars, whitespace-token total, and the
+    user/assistant alternation count (role transitions between consecutive
+    turns, order taken from turn_idx — arrival order is never trusted)."""
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
+        F.coalesce(token_count_ws(F.col("text")), F.lit(0)).alias("toks"),
+    )
+    prof = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+        # NOT count_distinct: a distinct aggregate next to collect_list forces
+        # Spark's two-phase expansion (extra Exchange on (conv_id, tool) that
+        # re-shuffles the whole turn-sequence buffer). collect_set composes in
+        # the single map-side-combined pass; per-conv tool cardinality is tiny.
+        F.size(F.collect_set("tool")).cast("long").alias("n_distinct_tools"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(F.sum("chars") / F.count("*"), 6).alias("mean_turn_chars"),
+        # alternation: roles in turn_idx order, count adjacent transitions
+        F.sort_array(F.collect_list(F.struct("turn_idx", "role"))).alias("seq"),
+    )
+    trans = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("seq"),
+                F.slice(F.col("seq"), 2, F.greatest(F.size("seq"), F.lit(1))),
+                lambda a, b: a["role"] != b["role"],
+            ),
+            lambda x: x,
+        )
+    )
+    return prof.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool_calls",
+        "n_distinct_tools",
+        "total_chars",
+        "total_tokens",
+        "mean_turn_chars",
+        trans.alias("n_role_transitions"),
+    )

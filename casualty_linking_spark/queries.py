@@ -2685,6 +2685,34 @@ GROUP BY a.uri, b.uri"""
     )
 
 
+def q_transcripts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import conversation_profile
+
+    return conversation_profile(synth.transcripts_from_sf(spark, sf_dir))
+
+
+def oracle_transcripts_profile() -> str:
+    return synth.oracle_prelude() + r"""
+, base AS (
+  SELECT conv_id, turn_idx, role, tool,
+         COALESCE(length(text), 0) AS chars,
+         COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 0) AS toks,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts)
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(*) FILTER (role = 'user') AS n_user,
+       count(*) FILTER (role = 'assistant') AS n_assistant,
+       count(*) FILTER (tool IS NOT NULL) AS n_tool_calls,
+       count(DISTINCT tool) AS n_distinct_tools,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(CAST(sum(chars) AS DOUBLE) / count(*), 6) AS mean_turn_chars,
+       CAST(count(*) FILTER (prev_role IS NOT NULL AND role != prev_role) AS INT)
+         AS n_role_transitions
+FROM base GROUP BY conv_id"""
+
+
 # data-mixing spec for the contract query: several distinct keep-rates, one
 # source fully dropped (weight 0), remaining sources on the default rate
 MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
@@ -2981,6 +3009,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_gazetteer_mentions": (q_gazetteer_mentions, oracle_gazetteer_mentions),
     "kg_entity_cooccurrence": (q_entity_cooccurrence, oracle_entity_cooccurrence),
     "kg_streaming_gazetteer": (q_streaming_gazetteer, oracle_gazetteer_mentions),
+    "transcripts_profile": (q_transcripts_profile, oracle_transcripts_profile),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
 }
