@@ -216,6 +216,40 @@ def objects_of(graph: DataFrame, pred: str) -> DataFrame:
     return graph.filter(F.col("pred") == pred).select("subj", "obj")
 
 
+def upsert_triples(
+    base: DataFrame,
+    delta: DataFrame,
+    functional_preds: tuple[str, ...] = (),
+    broadcast_delta_keys: bool = True,
+) -> DataFrame:
+    """Incremental graph maintenance: merge a correction/enrichment batch
+    into an existing graph without a read-modify-write of the whole store.
+
+    Non-functional predicates accumulate with RDF set semantics (the same
+    ``union_graphs`` dedup every merge in this module uses). Predicates in
+    ``functional_preds`` are single-valued: a delta assertion for
+    (subj, pred) REPLACES every base triple with that (subj, pred) — the
+    latest batch wins, which is how the reference's curated-additions edit
+    cycle behaves for corrected literals (process.sh:17 re-runs the merge
+    with the fixed value, it never keeps both).
+
+    Scale posture: the overwrite leg is a left_anti on (subj, pred) where
+    the right side is the delta's distinct key set — a correction batch is
+    tiny next to the store, so it broadcasts (``broadcast_delta_keys``);
+    the union leg is scan+dedup. Nothing collects; base is read once.
+    """
+    if functional_preds:
+        keys = (
+            delta.filter(F.col("pred").isin(list(functional_preds)))
+            .select("subj", "pred")
+            .distinct()
+        )
+        if broadcast_delta_keys:
+            keys = F.broadcast(keys)
+        base = base.join(keys, ["subj", "pred"], "left_anti")
+    return union_graphs(base, delta)
+
+
 def graph_diff(new: DataFrame, old: DataFrame) -> DataFrame:
     """Triple-level diff between two graph versions: rows of ``new`` absent
     from ``old`` tagged op='added', rows of ``old`` absent from ``new``

@@ -465,6 +465,57 @@ SELECT 'removed' AS op, subj, pred, obj, obj_type, datatype
 FROM cas WHERE pred = '{rank_pred}'"""
 
 
+def q_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental correction batch merged into the casualty graph: subjects
+    in a deterministic ~1/16 md5 sample get their rank_literal corrected
+    ('korjattu-' prefix — functional overwrite, latest batch wins) plus an
+    additive cas:reviewed_by marker; every other triple passes through
+    untouched. The store is read once; the tiny delta key set broadcasts."""
+    from .operators.triples import upsert_triples
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark)).select(
+        "subj", "pred", "obj", "obj_type", "datatype"
+    )
+    rank_pred = NS.cas("rank_literal")
+    sel = g.filter((F.col("pred") == rank_pred) & F.md5("subj").startswith("0"))
+    corrected = sel.select(
+        "subj",
+        "pred",
+        F.concat(F.lit("korjattu-"), F.col("obj")).alias("obj"),
+        "obj_type",
+        "datatype",
+    )
+    markers = sel.select("subj").distinct().select(
+        "subj",
+        F.lit(NS.cas("reviewed_by")).alias("pred"),
+        F.lit("era-batch-2").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    merged = upsert_triples(
+        g, corrected.unionByName(markers), functional_preds=(rank_pred,)
+    )
+    return merged.select("subj", "pred", "obj", "obj_type", "datatype")
+
+
+def oracle_graph_upsert() -> str:
+    base = oracle_triples_casualties()
+    rank_pred = NS.cas("rank_literal")
+    marker_pred = NS.cas("reviewed_by")
+    return f"""WITH cas AS MATERIALIZED ({base}),
+sel AS (SELECT * FROM cas WHERE pred = '{rank_pred}' AND md5(subj) LIKE '0%')
+SELECT DISTINCT subj, pred, obj, obj_type, datatype FROM (
+  SELECT subj, pred, obj, obj_type, datatype FROM cas
+  WHERE NOT (pred = '{rank_pred}' AND subj IN (SELECT subj FROM sel))
+  UNION ALL
+  SELECT subj, pred, 'korjattu-' || obj AS obj, obj_type, datatype FROM sel
+  UNION ALL
+  SELECT DISTINCT subj, '{marker_pred}' AS pred, 'era-batch-2' AS obj,
+         'literal' AS obj_type, CAST(NULL AS VARCHAR) AS datatype FROM sel
+)"""
+
+
 def oracle_triples_casualties() -> str:
     """Expected unpivot: one SELECT per property (wide->long), the graveyard
     URI construction + existence semi-join, and the type triple."""
@@ -3009,6 +3060,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_gazetteer_mentions": (q_gazetteer_mentions, oracle_gazetteer_mentions),
     "kg_entity_cooccurrence": (q_entity_cooccurrence, oracle_entity_cooccurrence),
     "kg_streaming_gazetteer": (q_streaming_gazetteer, oracle_gazetteer_mentions),
+    "kg_graph_upsert": (q_graph_upsert, oracle_graph_upsert),
     "transcripts_profile": (q_transcripts_profile, oracle_transcripts_profile),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
