@@ -250,6 +250,29 @@ def upsert_triples(
     return union_graphs(base, delta)
 
 
+def dangling_objects(graph: DataFrame, known_uris: DataFrame | None = None) -> DataFrame:
+    """Referential-integrity audit — the pre-publish check of a KG build:
+    distinct URI objects that are never defined as a subject in the graph
+    and are absent from the known-entity whitelist (the ontology dims the
+    pipeline links against). Output per dangling URI: reference count and a
+    deterministic example predicate (min).
+
+    Scale posture: one scan of the graph for the reference side (map-side
+    combined groupBy on obj), one column-pruned scan for the subject set;
+    the whitelist is an ontology dim, so it broadcasts. No collects."""
+    refs = (
+        graph.filter(F.col("obj_type") == "uri")
+        .groupBy("obj")
+        .agg(F.count("*").alias("n_refs"), F.min("pred").alias("example_pred"))
+    )
+    defined = graph.select(F.col("subj").alias("obj")).distinct()
+    out = refs.join(defined, "obj", "left_anti")
+    if known_uris is not None:
+        wl = known_uris.select(F.col(known_uris.columns[0]).alias("obj")).distinct()
+        out = out.join(F.broadcast(wl), "obj", "left_anti")
+    return out
+
+
 def graph_diff(new: DataFrame, old: DataFrame) -> DataFrame:
     """Triple-level diff between two graph versions: rows of ``new`` absent
     from ``old`` tagged op='added', rows of ``old`` absent from ``new``

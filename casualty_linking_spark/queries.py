@@ -516,6 +516,44 @@ SELECT DISTINCT subj, pred, obj, obj_type, datatype FROM (
 )"""
 
 
+def q_dangling_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish referential-integrity audit of the casualty graph: URI
+    objects that are neither defined as subjects nor present in any ontology
+    dim the pipeline links against (codes, municipalities, cemeteries, the
+    schema type). What survives is exactly the minted municipality URIs whose
+    raw codes the ontology doesn't know — the rows a curator must triage."""
+    from .operators.triples import DEATH_RECORD_TYPE, dangling_objects
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    known = (
+        dims.dim_codes(spark).select("uri")
+        .unionByName(dims.dim_municipalities(spark).select(F.col("mun_uri").alias("uri")))
+        .unionByName(dims.dim_cemeteries(spark).select(F.col("cem_uri").alias("uri")))
+        .unionByName(spark.createDataFrame([(DEATH_RECORD_TYPE,)], "uri string"))
+    )
+    return dangling_objects(g, known).select("obj", "n_refs", "example_pred")
+
+
+def oracle_dangling_objects() -> str:
+    from .operators.triples import DEATH_RECORD_TYPE
+
+    base = oracle_triples_casualties()
+    ctes = ",\n".join([dims.codes_cte(), dims.municipalities_cte(), dims.cemeteries_cte()])
+    return f"""WITH cas AS MATERIALIZED ({base}),
+{ctes},
+known AS (
+  SELECT uri FROM codes
+  UNION SELECT mun_uri FROM municipalities
+  UNION SELECT cem_uri FROM cemeteries
+  UNION SELECT '{DEATH_RECORD_TYPE}'
+  UNION SELECT DISTINCT subj FROM cas
+)
+SELECT obj, count(*) AS n_refs, min(pred) AS example_pred
+FROM cas WHERE obj_type = 'uri' AND obj NOT IN (SELECT uri FROM known)
+GROUP BY obj"""
+
+
 def oracle_triples_casualties() -> str:
     """Expected unpivot: one SELECT per property (wide->long), the graveyard
     URI construction + existence semi-join, and the type triple."""
@@ -3061,6 +3099,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_entity_cooccurrence": (q_entity_cooccurrence, oracle_entity_cooccurrence),
     "kg_streaming_gazetteer": (q_streaming_gazetteer, oracle_gazetteer_mentions),
     "kg_graph_upsert": (q_graph_upsert, oracle_graph_upsert),
+    "kg_dangling_objects": (q_dangling_objects, oracle_dangling_objects),
     "transcripts_profile": (q_transcripts_profile, oracle_transcripts_profile),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
