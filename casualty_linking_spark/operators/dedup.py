@@ -104,6 +104,13 @@ def lsh_bands(documents: DataFrame, n_hashes: int = N_HASHES, band_size: int = B
     sh_rows = documents.select(
         F.col("doc_id"), F.explode(shingles_col(F.col("text"))).alias("shingle")
     )
+    return _shingle_rows_to_bands(sh_rows, n_hashes, band_size)
+
+
+def _shingle_rows_to_bands(sh_rows: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, shingle) rows -> (doc_id, band_idx, band_key). Duplicate
+    shingle rows are harmless (min-agg is idempotent), so callers can skip
+    a pre-dedup shuffle."""
     sig = sh_rows.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(f"mh{i}")
@@ -144,7 +151,10 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     shuffle moves only post-agg rows (n_bands per doc), negligible at any
     scale, and at 100 TB a self-join of the band table would never have
     been broadcast-able anyway."""
-    b = lsh_bands(documents)
+    return _bands_to_pairs(lsh_bands(documents))
+
+
+def _bands_to_pairs(b: DataFrame) -> DataFrame:
     a = b.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     c = b.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
@@ -153,6 +163,56 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _conversation_shingle_rows(transcripts: DataFrame) -> DataFrame:
+    """(doc_id=conv_id, shingle) — the UNION of per-turn word-3-gram shingle
+    sets. The conversation is never concatenated into one string: the explode
+    runs on turn rows (embarrassingly parallel at 10^12 turns) and the one
+    conv_id shuffle downstream carries only shingle rows. Cross-turn boundary
+    grams are deliberately out of the shingle universe. NULL-text turns
+    contribute nothing (explode of a null array)."""
+    return transcripts.select(
+        F.col("conv_id").alias("doc_id"),
+        F.explode(shingles_col(F.col("text"))).alias("shingle"),
+    )
+
+
+def conversation_lsh_pairs(
+    transcripts: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Conversation-granularity near-dup candidates (conv_a < conv_b sharing
+    an LSH band) — the SFT-corpus dedup: re-rolled conversations share almost
+    every turn verbatim, and document-level dedup can't see identity spread
+    across turns. Same banded-minhash shape as the document path (signature
+    built once, exchange-reused self-join)."""
+    return _bands_to_pairs(
+        _shingle_rows_to_bands(_conversation_shingle_rows(transcripts), n_hashes, band_size)
+    )
+
+
+def conversation_jaccard_pairs(transcripts: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by exact Jaccard over the conversations'
+    shingle sets: (conv_a, conv_b, jaccard). Verification joins sets only
+    for candidate pairs — never all pairs."""
+    cands = conversation_lsh_pairs(transcripts).withColumnsRenamed(
+        {"doc_a": "conv_a", "doc_b": "conv_b"}
+    )
+    sh = _conversation_shingle_rows(transcripts).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    j = (
+        cands.join(
+            sh.withColumnsRenamed({"doc_id": "conv_a", "sh": "sh_a"}), "conv_a"
+        )
+        .join(sh.withColumnsRenamed({"doc_id": "conv_b", "sh": "sh_b"}), "conv_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("conv_a", "conv_b", "jaccard")
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

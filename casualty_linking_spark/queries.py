@@ -2774,6 +2774,54 @@ GROUP BY a.uri, b.uri"""
     )
 
 
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity near-dup over the transcript table: banded
+    minhash on the union of per-turn shingle sets (the conversation is never
+    concatenated), LSH candidates verified by exact Jaccard >= 0.5."""
+    from .operators.dedup import conversation_jaccard_pairs
+
+    return conversation_jaccard_pairs(
+        synth.transcripts_from_sf(spark, sf_dir), threshold=0.5
+    )
+
+
+def oracle_dedup_conversations() -> str:
+    return synth.oracle_prelude() + r"""
+, cwords AS (
+  SELECT conv_id, list_filter(string_split_regex(lower(text), '\W+'), w -> w != '') AS w
+  FROM transcripts WHERE text IS NOT NULL),
+cshingles AS (
+  SELECT conv_id,
+         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                        i -> array_to_string(w[i : i + 2], ' ')) AS sh
+  FROM cwords),
+cset AS MATERIALIZED (
+  SELECT DISTINCT conv_id, shingle
+  FROM (SELECT conv_id, unnest(sh) AS shingle FROM cshingles)),
+csig AS (
+  SELECT conv_id, s, min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM cset CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS s)
+  GROUP BY conv_id, s),
+cbands AS (
+  SELECT conv_id, CAST((s - s % 3) / 3 AS INT) AS band_idx,
+         md5(CAST(CAST((s - s % 3) / 3 AS INT) AS VARCHAR) || '|' || string_agg(mh, ',' ORDER BY s)) AS band_key
+  FROM csig GROUP BY conv_id, CAST((s - s % 3) / 3 AS INT)),
+cpairs AS (
+  SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+  FROM cbands a JOIN cbands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.conv_id < b.conv_id),
+csets AS MATERIALIZED (
+  SELECT conv_id, list(DISTINCT shingle) AS sh FROM cset GROUP BY conv_id)
+SELECT conv_a, conv_b, jaccard FROM (
+  SELECT p.conv_a, p.conv_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM cpairs p
+  JOIN csets a ON p.conv_a = a.conv_id
+  JOIN csets b ON p.conv_b = b.conv_id
+) WHERE jaccard >= 0.5"""
+
+
 def q_transcripts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import conversation_profile
 
@@ -3101,6 +3149,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_graph_upsert": (q_graph_upsert, oracle_graph_upsert),
     "kg_dangling_objects": (q_dangling_objects, oracle_dangling_objects),
     "transcripts_profile": (q_transcripts_profile, oracle_transcripts_profile),
+    "dedup_conversations": (q_dedup_conversations, oracle_dedup_conversations),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
 }

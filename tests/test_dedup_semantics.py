@@ -375,3 +375,71 @@ def test_incremental_dedup_intra_batch_tiers(spark):
     # intra-only dups untouched
     dflt = {r.doc_id: r.verdict for r in incremental_dedup(corpus, batch).collect()}
     assert dflt[201] == "unique" and dflt[205] == "unique"
+
+
+def _convs(spark, convs):
+    """convs: dict conv_id -> list of turn texts."""
+    import datetime as dt
+
+    rows = []
+    ts = dt.datetime(2024, 1, 1)
+    for cid, turns in convs.items():
+        for i, t in enumerate(turns):
+            rows.append((cid, i, "user" if i % 2 == 0 else "assistant", t, None, ts))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_conversation_near_dup_spread_across_turns(spark):
+    """A re-rolled conversation that shares every turn but one is invisible
+    to per-document dedup (each turn differs from every other doc) but must
+    surface at the conversation granularity."""
+    from casualty_linking_spark.operators.dedup import conversation_jaccard_pairs
+
+    base = [
+        "please summarize the quarterly report for the finance team today",
+        "the quarterly report shows revenue growth across all finance segments",
+        "now draft an email to the finance team about the revenue growth",
+        "subject quarterly results body revenue grew across all segments this quarter",
+    ]
+    # one changed word -> shingle jaccard 0.833, which deterministically
+    # shares an LSH band under the fixed md5 seeds (verified offline); a
+    # lower-overlap reroll may legitimately miss the 4x3 s-curve (~0.63)
+    rerolled = list(base)
+    rerolled[3] = "subject quarterly results body revenue grew across all regions this quarter"
+    t = _convs(spark, {"orig": base, "reroll": rerolled, "other": [
+        "completely different topic about gardening and soil preparation in spring",
+        "tomatoes need full sun and regular watering to thrive in summer",
+    ]})
+    out = {(r.conv_a, r.conv_b): r.jaccard for r in conversation_jaccard_pairs(t, 0.5).collect()}
+    assert ("orig", "reroll") in out
+    assert 0.5 <= out[("orig", "reroll")] < 1.0
+    assert all("other" not in k for k in out)
+
+
+def test_conversation_identical_sets_jaccard_one(spark):
+    """Same turn texts in a different turn order: the shingle SET union is
+    identical, so jaccard == 1.0 (near-dup is order-insensitive by design)."""
+    from casualty_linking_spark.operators.dedup import conversation_jaccard_pairs
+
+    turns = [
+        "alpha beta gamma delta epsilon zeta",
+        "eta theta iota kappa lambda mu",
+    ]
+    t = _convs(spark, {"a": turns, "b": list(reversed(turns))})
+    out = conversation_jaccard_pairs(t, 0.5).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_conversation_null_text_turns_ignored(spark):
+    """NULL-text turns (pure tool calls) contribute no shingles and don't
+    break the pair."""
+    from casualty_linking_spark.operators.dedup import conversation_jaccard_pairs
+
+    turns = ["run the numbers for quarter four please now", None,
+             "the totals are ready in the shared sheet now"]
+    t = _convs(spark, {"a": turns, "b": turns})
+    out = conversation_jaccard_pairs(t, 0.5).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
