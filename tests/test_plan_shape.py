@@ -108,7 +108,9 @@ def test_single_scan_candidate_generation(spark):
     the expensive fingerprint aggregations) once per join side per table.
     Regression guard for the exchange-reuse join hints (AQE off so the
     static plan shows ReusedExchange)."""
+    from casualty_linking_spark import synth
     from casualty_linking_spark.operators.dedup import (
+        conversation_jaccard_pairs,
         embedding_near_dup_pairs,
         minhash_lsh_pairs,
         simhash_near_dup_pairs,
@@ -123,10 +125,14 @@ def test_single_scan_candidate_generation(spark):
         q = embs.limit(3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
+        tx = synth.transcripts_from_sf(spark, "/root/testdata/sf0.001")
         cases = {
             "minhash_pairs": minhash_lsh_pairs(docs),
             "simhash_near": simhash_near_dup_pairs(docs),
             "emb_near": embedding_near_dup_pairs(embs, threshold=0.2),
+            # conversation near-dup: the whole candidates+verify composition
+            # keys the transcript source with ONE scan (4 reused exchanges)
+            "conv_near": conversation_jaccard_pairs(tx, threshold=0.5),
         }
         for name, df in cases.items():
             plan = _plan(df)
