@@ -430,6 +430,25 @@ def q_triples_casualties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental triple materialization under the batch oracle:
+    conversation-complete transcript files stream through a foreachBatch
+    T0->T5 build into a batch-partitioned store (16 files, 4 per trigger ->
+    4 micro-batches on every host — the r4 multi-batch lesson). The oracle
+    is the BATCH unpivot SQL: identical triples proves incremental == batch."""
+    import tempfile
+
+    from .streaming.ingest import stream_triples
+
+    tmp = tempfile.mkdtemp(prefix="kg_streaming_triples_")
+    inp, store, ckpt = f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt"
+    synth.transcripts_from_sf(spark, sf_dir).repartition(16, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(inp)
+    stream_triples(spark, inp, store, ckpt, dims.dim_cemeteries(spark)).awaitTermination()
+    return spark.read.parquet(store).select("subj", "pred", "obj", "obj_type", "datatype")
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit diff of a simulated curation batch: the edited graph drops all
     rank_literal triples and stamps a cas:diff_checked marker per record
@@ -3092,6 +3111,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_related_periods": (q_related_periods, oracle_related_periods),
     "kg_link_municipalities": (q_link_municipalities, oracle_link_municipalities),
     "kg_triples_casualties": (q_triples_casualties, oracle_triples_casualties),
+    "kg_streaming_triples": (q_streaming_triples, oracle_triples_casualties),
     "kg_schema_graph": (q_schema_graph, oracle_schema_graph),
     "kg_unit_label_concat": (q_unit_label_concat, oracle_unit_label_concat),
     "kg_property_path_units": (q_property_path_units, oracle_property_path_units),
