@@ -238,8 +238,8 @@ def test_real_decode_ppm_bmp_roundtrip():
     assert th.shape == (2, 2, 3)
     import pytest
 
-    # JPEG is the one format still behind the disclosed stub
-    with pytest.raises(NotImplementedError):
+    # truncated JPEG payloads fail loudly, unknown magic falls back to None
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8" + b"x" * 16)
     assert decode_image(b"garbage") is None
 
@@ -451,3 +451,89 @@ def test_audio_features_end_to_end(spark):
     assert abs(a.rms - 0.5) < 1e-3 and abs(a.peak - 0.5) < 1e-3
     assert abs(a.zero_crossing_rate - 79 / 7999) < 1e-3
     assert not out[2].decoded and out[2].rms is None
+
+
+def test_real_decode_jpeg_roundtrip_rgb():
+    """Baseline JPEG round-trip on a smooth gradient (non-multiple-of-8
+    dims exercise edge padding + crop). Lossy: bounded error, not equality."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    h, w = 17, 24
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 9) % 256, (y * 11) % 256, ((x + y) * 5) % 256], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 5 and err.max() < 32
+
+
+def test_real_decode_jpeg_grayscale_and_flat():
+    """1-component scan; a flat image must decode (near-)exactly — DC-only
+    blocks, so quantization loses nothing."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert out.shape == (16, 16)
+    assert np.abs(out.astype(int) - 200).max() <= 2
+
+    grad = (np.mgrid[0:9, 0:13][1] * 3).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert np.abs(out2.astype(int) - grad.astype(int)).mean() < 4
+
+
+def test_real_decode_jpeg_tables_read_from_stream():
+    """The decoder must honor the stream's own DQT, not assumed tables:
+    encoding at two qualities yields different payload bytes that BOTH
+    decode within their own error bounds."""
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = ((x * 16).astype(np.uint8)).astype(np.uint8)
+    lo, hi = encode_jpeg(img, quality=50), encode_jpeg(img, quality=95)
+    assert lo != hi
+    e_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    e_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    assert e_hi <= e_lo + 0.5  # finer quant never meaningfully worse
+
+
+def test_real_decode_jpeg_rejects_unsupported_variants():
+    """Disclosed coverage limits fail loudly: progressive SOF, truncated
+    entropy data, restart intervals."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from casualty_linking_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = encode_jpeg(img)
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # truncate mid-entropy
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2])
+    # inject a DRI segment right before SOS
+    sos_at = enc.find(b"\xff\xda")
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(enc[:sos_at] + dri + enc[sos_at:])
+
+
+def test_real_decode_jpeg_dispatch():
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import decode_image, encode_jpeg
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    out = decode_image(encode_jpeg(img))
+    assert out is not None and out.shape == (8, 8, 3)
