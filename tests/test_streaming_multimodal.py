@@ -333,22 +333,30 @@ def test_image_features_decodes_real_and_flags_fakes(spark):
     md5-derived fake payloads yield decoded=false rows, nothing throws."""
     from casualty_linking_spark.operators.multimodal import image_features
 
+    import numpy as np
+
+    from casualty_linking_spark.operators.multimodal import encode_jpeg
+
     rows = [
         (1, "image", _make_ppm(4, 4, (100, 150, 200))),
         (2, "image", _make_bmp(2, 2, (200, 150, 100))),
         (3, "image", b"\x00\x01\x02not-an-image"),
         (4, "audio", b"ignored"),
+        (5, "image", encode_jpeg(np.full((8, 8, 3), [100, 150, 200], dtype=np.uint8))),
     ]
     media = spark.createDataFrame(
         [(i, k, bytearray(p)) for i, k, p in rows],
         "media_id long, kind string, payload binary",
     )
     out = {r["media_id"]: r for r in image_features(media).collect()}
-    assert set(out) == {1, 2, 3}  # audio row filtered
+    assert set(out) == {1, 2, 3, 5}  # audio row filtered
     assert out[1]["decoded"] and out[1]["width"] == 4
     assert [round(x) for x in out[1]["mean_rgb"]] == [100, 150, 200]
     assert out[2]["decoded"] and [round(x) for x in out[2]["mean_rgb"]] == [100, 150, 200]
     assert not out[3]["decoded"] and out[3]["mean_rgb"] is None
+    # flat JPEG decodes through the same Spark stage (lossy: +-2 per channel)
+    assert out[5]["decoded"] and out[5]["width"] == 8
+    assert all(abs(m - e) <= 2 for m, e in zip(out[5]["mean_rgb"], [100, 150, 200]))
 
 
 def test_decoder_roundtrip_property():
