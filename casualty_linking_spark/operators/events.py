@@ -93,6 +93,48 @@ def stream_hourly_rollup(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join, scale-safe: each ``points`` row (event_id, ts,
+    user_id) paired with every ``intervals`` row (interval_id, user_id,
+    start_ts, end_ts) of the SAME user whose half-open window
+    ``[start_ts, end_ts)`` contains ``ts``.
+
+    The naive formulation is a theta join (``ON user_id = user_id AND ts
+    BETWEEN ...``), which Spark plans as a per-user nested loop — O(n*m) per
+    user and a broadcast-nested-loop disaster at scale. This operator makes
+    it an EQUI-join by time-bucketing: intervals are exploded to every
+    ``bucket_seconds`` epoch bucket they overlap, points compute their single
+    bucket, the join runs on (user_id, bucket) through the normal hash-join
+    machinery (shuffle partitioned, AQE-skew-eligible), and the exact range
+    predicate filters afterwards. With ``bucket_seconds`` >= the maximum
+    interval length each interval lands in at most 2 buckets, so the
+    replication factor is bounded by 2 — and each (interval, point) pair can
+    meet at most once because a point has exactly one bucket. This is the
+    standard range-join decomposition (Spark has no native range-join
+    optimizer; Databricks' range-join hint does the same binning internally).
+    """
+    us = bucket_seconds * 1_000_000
+
+    def _bkt(col: str):
+        # unix_micros requires TIMESTAMP; the events parquet lands as
+        # TIMESTAMP_NTZ. The cast maps every column through the SAME
+        # ntz->instant function, and the join only needs bucket ids to be
+        # consistent and monotone across the two sides, not zone-correct.
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / us).cast("long")
+
+    iv = intervals.withColumn("bkt", F.explode(F.sequence(_bkt("start_ts"), _bkt("end_ts"))))
+    pts = points.withColumn("bkt", _bkt("ts"))
+    return (
+        pts.join(iv, ["user_id", "bkt"])
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .drop("bkt")
+    )
+
+
 def asof_join(events: DataFrame, left_type: str, right_type: str) -> DataFrame:
     """Per-user as-of join: each ``left_type`` event matched to the same
     user's most recent ``right_type`` event at-or-before it (NULLs when

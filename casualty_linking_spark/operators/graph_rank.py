@@ -83,6 +83,51 @@ def pagerank_fixed_point(
     return ranks
 
 
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """(vertex, dist) — every vertex within ``k`` UNDIRECTED hops of a seed,
+    with its minimum hop distance (seeds themselves at dist 0). The KG
+    neighborhood-expansion query (context assembly around an entity, blast-
+    radius analysis for a correction batch): SPARQL writes it as a bounded
+    property path ``seed (:p|^:p){0,k} ?v``.
+
+    BFS as k rounds of frontier expansion, not a transitive closure: each
+    round is one equi-join of the CURRENT frontier against the edge table on
+    src (shuffle partitioned on the join key; at 100 TB the edge table is
+    bucketed by src so the big side never reshuffles per round), a distinct
+    on the (small) frontier output, and an anti-join against the visited set
+    — so per-round work is proportional to the frontier, never to the full
+    reachability set, and vertices re-reached at a later round are dropped
+    rather than relabeled (first reach IS the min distance, the BFS
+    invariant). Rounds are a fixed count with eager localCheckpoints cutting
+    lineage (the CC/pagerank plan-growth discipline); the visited set is a
+    k-deep union of checkpointed frontiers, which stays shallow.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select("vertex").distinct()
+        .select("vertex", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("vertex")
+    for i in range(1, k + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("vertex", "src"), "src")
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .select("vertex", F.lit(i).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("vertex")
+    return visited
+
+
 def entity_degrees(edges: DataFrame) -> DataFrame:
     """(vertex, out_degree, in_degree) over the distinct edge set — the
     cheap companion profile (no iteration)."""

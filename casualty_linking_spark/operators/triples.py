@@ -250,6 +250,35 @@ def upsert_triples(
     return union_graphs(base, delta)
 
 
+def validity_intervals(versions: DataFrame) -> DataFrame:
+    """SCD2 history reconstruction for functional predicates: given every
+    asserted value of single-valued predicates across correction batches —
+    rows of (subj, pred, obj, batch_seq) — emit one validity row per
+    version: the batch it became true in (``valid_from``), the batch that
+    superseded it (``valid_to``, NULL while still current), and an
+    ``is_current`` flag. ``upsert_triples`` answers "what is the graph
+    now?"; this answers "what did the graph say, when?" — the audit-trail
+    face of the reference's curated-edit cycle (process.sh:17 re-runs), kept
+    as data instead of being destroyed by each overwrite.
+
+    One window over (subj, pred) ordered by batch_seq — a single shuffle on
+    the entity key, per-group state of one row (``lead``). No joins, no
+    collects; at 100 TB the version log is append-only and partitioned by
+    batch, and this runs as one pass over it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred").orderBy("batch_seq")
+    nxt = F.lead("batch_seq").over(w)
+    return versions.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("batch_seq").cast("int").alias("valid_from"),
+        nxt.cast("int").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def dangling_objects(graph: DataFrame, known_uris: DataFrame | None = None) -> DataFrame:
     """Referential-integrity audit — the pre-publish check of a KG build:
     distinct URI objects that are never defined as a subject in the graph

@@ -3097,6 +3097,149 @@ SELECT c.vec_id, c.cell_id, d.dup_of IS NULL AS kept, d.dup_of
 FROM cassign c LEFT JOIN dups d USING (vec_id)"""
 
 
+KHOP_K = 3
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded neighborhood expansion over the constructed KG: every vertex
+    within KHOP_K undirected hops of the deterministic seed set (records
+    whose md5 starts with '0', ~1/16), with min hop distance — SPARQL's
+    ``seed (:p|^:p){0,3} ?v`` bounded property path, the query behind
+    'assemble the context subgraph around these entities'. Spark side is
+    real frontier BFS (operators/graph_rank.k_hop); the oracle unrolls the
+    same reachability as K set-union CTEs with a min-level CASE — unrolled
+    rather than WITH RECURSIVE for the same DuckDB-nondeterminism reason as
+    kg_connected_components' oracle."""
+    from .operators.graph_rank import k_hop
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    edges = g.filter(F.col("obj_type") == "uri").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    seeds = (
+        g.filter(F.md5("subj").startswith("0"))
+        .select(F.col("subj").alias("vertex"))
+        .distinct()
+    )
+    return k_hop(edges, seeds, k=KHOP_K)
+
+
+def oracle_kg_khop() -> str:
+    base = oracle_triples_casualties()
+    parts = [
+        f"cas AS MATERIALIZED ({base})",
+        "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM cas WHERE obj_type = 'uri')",
+        "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+        "r0 AS (SELECT DISTINCT subj AS vertex FROM cas WHERE md5(subj) LIKE '0%')",
+    ]
+    for k in range(1, KHOP_K + 1):
+        parts.append(
+            f"r{k} AS (SELECT u.dst AS vertex FROM u JOIN r{k - 1} p ON u.src = p.vertex"
+            f" UNION SELECT vertex FROM r{k - 1})"
+        )
+    case = " ".join(
+        f"WHEN vertex IN (SELECT vertex FROM r{k}) THEN {k}" for k in range(KHOP_K)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vertex, CAST(CASE {case} ELSE {KHOP_K} END AS INT) AS dist FROM r{KHOP_K}"
+    )
+
+
+# incident window length == range-join bucket width (intervals span <=2 buckets)
+INCIDENT_WINDOW_SEC = 1800
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, scale-safe: every purchase landing in
+    the half-open 30-minute window after an error by the same user. The
+    Spark side is the bucketed equi-join decomposition
+    (operators/events.interval_join — no theta join, no nested loop); the
+    oracle is the naive BETWEEN join DuckDB can afford at sf0.01 — two
+    independent formulations of the same contract."""
+    from .operators.events import interval_join
+
+    ev = _events(spark, sf_dir)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            "user_id",
+        )
+        .withColumn("end_ts", F.expr(f"start_ts + INTERVAL {INCIDENT_WINDOW_SEC} SECOND"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    j = interval_join(pur, err, bucket_seconds=INCIDENT_WINDOW_SEC)
+    return j.select(
+        "incident_id",
+        F.col("start_ts").alias("incident_ts"),
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("timestampdiff(MICROSECOND, start_ts, ts)").alias("delta_us"),
+    )
+
+
+def oracle_events_interval_join() -> str:
+    return f"""
+WITH e AS (SELECT event_id AS incident_id, ts AS incident_ts, user_id
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+SELECT e.incident_id, e.incident_ts, e.user_id, p.event_id, p.ts,
+       epoch_us(p.ts) - epoch_us(e.incident_ts) AS delta_us
+FROM e JOIN p ON p.user_id = e.user_id AND p.ts >= e.incident_ts
+             AND p.ts < e.incident_ts + INTERVAL {INCIDENT_WINDOW_SEC} SECOND"""
+
+
+def q_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 audit trail over the correction-batch history of the functional
+    rank_literal predicate: batch 0 is the constructed graph's value, batch 1
+    re-asserts a 'k1-' correction for the md5-'0/1' ~1/8 sample, batch 2 a
+    'k2-' correction for the '0' ~1/16 sample — so subjects carry 1, 2, or 3
+    versions, each emitted with its validity window and currency flag
+    (operators/triples.validity_intervals)."""
+    from .operators.triples import validity_intervals
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    rank_pred = NS.cas("rank_literal")
+    vals = g.filter(F.col("pred") == rank_pred).select("subj", "pred", "obj")
+    h = F.substring(F.md5("subj"), 1, 1)
+    b0 = vals.withColumn("batch_seq", F.lit(0))
+    b1 = (
+        vals.filter(h.isin("0", "1"))
+        .select("subj", "pred", F.concat(F.lit("k1-"), F.col("obj")).alias("obj"))
+        .withColumn("batch_seq", F.lit(1))
+    )
+    b2 = (
+        vals.filter(h == "0")
+        .select("subj", "pred", F.concat(F.lit("k2-"), F.col("obj")).alias("obj"))
+        .withColumn("batch_seq", F.lit(2))
+    )
+    return validity_intervals(b0.unionByName(b1).unionByName(b2))
+
+
+def oracle_validity_intervals() -> str:
+    base = oracle_triples_casualties()
+    rank_pred = NS.cas("rank_literal")
+    return f"""WITH cas AS MATERIALIZED ({base}),
+v0 AS (SELECT subj, pred, obj FROM cas WHERE pred = '{rank_pred}'),
+v AS (
+  SELECT subj, pred, obj, 0 AS batch_seq FROM v0
+  UNION ALL
+  SELECT subj, pred, 'k1-' || obj, 1 FROM v0
+  WHERE substr(md5(subj), 1, 1) IN ('0', '1')
+  UNION ALL
+  SELECT subj, pred, 'k2-' || obj, 2 FROM v0 WHERE substr(md5(subj), 1, 1) = '0')
+SELECT subj, pred, obj, CAST(batch_seq AS INT) AS valid_from,
+       CAST(lead(batch_seq) OVER w AS INT) AS valid_to,
+       lead(batch_seq) OVER w IS NULL AS is_current
+FROM v WINDOW w AS (PARTITION BY subj, pred ORDER BY batch_seq)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3172,6 +3315,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_conversations": (q_dedup_conversations, oracle_dedup_conversations),
     "curation_mixture": (q_curation_mixture, oracle_curation_mixture),
     "corpus_vocab": (q_corpus_vocab, oracle_corpus_vocab),
+    "kg_khop": (q_kg_khop, oracle_kg_khop),
+    "events_interval_join": (q_events_interval_join, oracle_events_interval_join),
+    "kg_validity_intervals": (q_validity_intervals, oracle_validity_intervals),
 }
 
 

@@ -77,3 +77,52 @@ def test_transcripts_context_windows(spark):
             assert sel.iloc[i].context == expect, (conv_id, i)
     first = got.groupby("conv_id").first()
     assert (first.n_ctx == 0).all() and (first.context == "").all()
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    """Half-open [start, end): ts == start matches, ts == end does not; a
+    point in a LATER epoch bucket than its interval's start still matches
+    (the bucket-explosion leg); same-user constraint enforced."""
+    import datetime as dt
+
+    from casualty_linking_spark.operators.events import interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 14)  # interval straddles a 900s bucket edge
+    iv = spark.createDataFrame(
+        [(100, 7, base, base + dt.timedelta(seconds=900))],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, base, 7),  # == start -> in
+            (2, base + dt.timedelta(seconds=899), 7),  # in, next bucket
+            (3, base + dt.timedelta(seconds=900), 7),  # == end -> out
+            (4, base - dt.timedelta(seconds=1), 7),  # before -> out
+            (5, base + dt.timedelta(seconds=10), 8),  # other user -> out
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = sorted(
+        r.event_id for r in interval_join(pts, iv, bucket_seconds=900).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    """An interval exploded into several buckets still meets each point at
+    most once (the point owns exactly one bucket)."""
+    import datetime as dt
+
+    from casualty_linking_spark.operators.events import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(100, 7, base, base + dt.timedelta(seconds=3600))],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=1800), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    # bucket (600s) much smaller than the interval: 7 exploded rows, 1 match
+    assert interval_join(pts, iv, bucket_seconds=600).count() == 1

@@ -73,3 +73,48 @@ def test_entity_degrees(spark):
     )
     got = {r.vertex: (r.out_degree, r.in_degree) for r in entity_degrees(df).collect()}
     assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_k_hop_min_distance_on_chain(spark):
+    """BFS on the chain a-b-c-d-e (directed a->b etc., traversal undirected):
+    seeds {c}, k=2 reaches the whole chain with exact min distances; k=1
+    stops at the neighbors."""
+    from casualty_linking_spark.operators.graph_rank import k_hop
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("c",)], "vertex string")
+    got = {r.vertex: r.dist for r in k_hop(edges, seeds, k=2).collect()}
+    assert got == {"c": 0, "b": 1, "d": 1, "a": 2, "e": 2}
+    got1 = {r.vertex: r.dist for r in k_hop(edges, seeds, k=1).collect()}
+    assert got1 == {"c": 0, "b": 1, "d": 1}
+
+
+def test_k_hop_shorter_path_wins(spark):
+    """A vertex reachable along two paths gets the SHORTER distance, and a
+    revisit through a longer path never relabels it (BFS invariant). Here f
+    is 1 hop from seed a directly and 3 hops via b-c; multi-edges and
+    reverse edges must not duplicate output rows."""
+    from casualty_linking_spark.operators.graph_rank import k_hop
+
+    edges = spark.createDataFrame(
+        [("a", "f"), ("a", "b"), ("b", "c"), ("c", "f"), ("f", "a"), ("a", "f")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "vertex string")
+    rows = k_hop(edges, seeds, k=3).collect()
+    assert len(rows) == len({r.vertex for r in rows})  # one row per vertex
+    got = {r.vertex: r.dist for r in rows}
+    assert got == {"a": 0, "f": 1, "b": 1, "c": 2}
+
+
+def test_k_hop_disconnected_untouched(spark):
+    """Vertices in another component never appear, seeds with no edges stay
+    at dist 0."""
+    from casualty_linking_spark.operators.graph_rank import k_hop
+
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("lonely",)], "vertex string")
+    got = {r.vertex: r.dist for r in k_hop(edges, seeds, k=3).collect()}
+    assert got == {"lonely": 0}

@@ -65,3 +65,29 @@ def test_delta_keys_broadcast_in_plan(spark):
     out = upsert_triples(base, delta, functional_preds=("rank",))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_validity_intervals_scd2(spark):
+    """Three versions of one key -> chained [from, to) windows with exactly
+    one current row; single-version keys are current from their only batch;
+    interleaved other-predicate rows don't cross-contaminate the window."""
+    from casualty_linking_spark.operators.triples import validity_intervals
+
+    v = spark.createDataFrame(
+        [
+            ("s1", "p", "v0", 0),
+            ("s1", "p", "v1", 3),
+            ("s1", "p", "v2", 7),
+            ("s1", "q", "qv", 1),
+            ("s2", "p", "w0", 0),
+        ],
+        "subj string, pred string, obj string, batch_seq long",
+    )
+    rows = {(r.subj, r.pred, r.obj): r for r in validity_intervals(v).collect()}
+    assert len(rows) == 5
+    assert (rows[("s1", "p", "v0")].valid_from, rows[("s1", "p", "v0")].valid_to) == (0, 3)
+    assert (rows[("s1", "p", "v1")].valid_from, rows[("s1", "p", "v1")].valid_to) == (3, 7)
+    cur = rows[("s1", "p", "v2")]
+    assert (cur.valid_from, cur.valid_to, cur.is_current) == (7, None, True)
+    assert sum(1 for r in rows.values() if r.subj == "s1" and r.pred == "p" and r.is_current) == 1
+    assert rows[("s1", "q", "qv")].is_current and rows[("s2", "p", "w0")].is_current
