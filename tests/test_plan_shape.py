@@ -172,3 +172,33 @@ def test_asof_join_is_joinless_single_shuffle(spark):
     plan = _plan(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """interval_join: the bucket decomposition must reach the planner as an
+    EQUI-join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on
+    (user_id, bkt)) — a naive range predicate would plan as
+    BroadcastNestedLoopJoin, the O(n*m)-per-user disaster the operator
+    exists to avoid."""
+    from casualty_linking_spark.queries import q_events_interval_join
+
+    df = q_events_interval_join(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+
+def test_validity_intervals_single_shuffle(spark):
+    """validity_intervals: one lead() window — exactly one hashpartitioning
+    Exchange on the entity key over the version log (plus the loader
+    spread), no joins."""
+    from casualty_linking_spark.operators.triples import validity_intervals
+
+    v = spark.createDataFrame(
+        [("s", "p", "v0", 0), ("s", "p", "v1", 1)],
+        "subj string, pred string, obj string, batch_seq long",
+    )
+    plan = _plan(validity_intervals(v))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
