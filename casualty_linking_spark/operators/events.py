@@ -32,6 +32,32 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def cube_rollup(events: DataFrame) -> DataFrame:
+    """event_type × hour-of-day CUBE — all four grouping sets (full detail,
+    per-type, per-hour, grand total) in ONE pass, disambiguated by
+    ``grouping_id`` (bit set = that column is rolled up, so a NULL grouping
+    VALUE in the data is distinguishable from a CUBE subtotal NULL). The
+    standard OLAP dashboard query: Spark expands the sets BEFORE the
+    exchange and partial-aggregates each, so the shuffle carries the
+    combined (types × hours) subtotal cardinality — bounded by the group
+    space, never the event count — exactly once instead of four scans.
+    Sums go through DECIMAL so they are summation-order-free (the
+    events_rollup discipline), then surface as DOUBLE."""
+    return (
+        events.select(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            F.col("value").cast("decimal(18,3)").alias("v"),
+        )
+        .cube("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     """Gap-based session windows per user (session_window): a session is a
     maximal run of events with inter-event gaps < ``gap``; end = last event

@@ -142,3 +142,77 @@ def entity_degrees(edges: DataFrame) -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """(a, b, c) — every triangle in the undirected graph, each enumerated
+    exactly once with its vertices in lexicographic order. Triangle
+    enumeration is the KG-QA / community-structure primitive (clustering
+    coefficient, spam-cluster detection over the co-occurrence graph).
+
+    Input: undirected edge list; canonicalized here (src < dst after a
+    least/greatest fold, distinct, self-loops dropped) so mixed-direction
+    duplicates collapse before degrees are counted.
+
+    Degree-ordered orientation (the Schank-Wagner / "compact-forward"
+    algorithm): every edge is directed from its lower-(degree, name)
+    endpoint to the higher one, giving an acyclic orientation in which each
+    triangle has EXACTLY one vertex with two out-edges — so one self-join
+    on that common source (wedge build) plus one semi-join against the
+    oriented edge set (wedge closure) enumerates each triangle once, and
+    max out-degree is bounded by O(sqrt(m)) regardless of hub skew: the
+    celebrity vertex with 10^8 neighbors contributes wedges only toward
+    HIGHER-ordered vertices, of which there are few, instead of the
+    10^16-wedge blowup a naive src-join would plan. Work is O(m^1.5), the
+    output-optimal bound. Degrees are an aggregated vertex-sized table
+    broadcast onto the edge scan; the wedge join shuffles oriented edges
+    once on the wedge apex (at 100 TB: bucket the oriented edge table by
+    src and both the wedge build and the closure probe stay co-located).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+
+    def key(degc, name):
+        return F.struct(degc.alias("k_deg"), name.alias("k_name"))
+
+    j = (
+        e.join(
+            F.broadcast(deg.select(F.col("v").alias("src"), F.col("deg").alias("sd"))),
+            "src",
+        ).join(
+            F.broadcast(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd"))),
+            "dst",
+        )
+    )
+    low_first = key(F.col("sd"), F.col("src")) < key(F.col("dd"), F.col("dst"))
+    oriented = j.select(
+        F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
+        F.when(low_first, key(F.col("dd"), F.col("dst")))
+        .otherwise(key(F.col("sd"), F.col("src")))
+        .alias("wkey"),
+    )
+    wedges = (
+        oriented.select("u", F.col("w").alias("v1"), F.col("wkey").alias("k1"))
+        .join(
+            oriented.select("u", F.col("w").alias("v2"), F.col("wkey").alias("k2")),
+            "u",
+        )
+        .where(F.col("k1") < F.col("k2"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("w").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    )
+    tri = F.array_sort(F.array("u", "v1", "v2"))
+    return closed.select(
+        tri[0].alias("a"), tri[1].alias("b"), tri[2].alias("c")
+    )

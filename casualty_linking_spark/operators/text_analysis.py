@@ -214,6 +214,55 @@ def corpus_vocab(documents: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, word, tf, df, tfidf, rank) — each document's ``k`` most
+    characteristic terms by TF-IDF (smoothed: ``tf * ln((N+1)/(df+1))``),
+    the standard keyword-extraction / topic-fingerprint primitive for
+    corpus curation and search indexing.
+
+    Scale shape: ONE corpus scan explodes to (doc, word) pairs, a map-side
+    combinable groupBy collapses them to term frequencies (the shuffle
+    carries doc×vocab PAIRS, never raw tokens); document frequency and the
+    corpus size N are aggregations OVER that pair table (vocabulary-sized /
+    one row), broadcast back — the corpus-sized side never reshuffles for
+    the idf join. The top-k window shuffles the pair table once on doc_id.
+    At 100 TB the df table is the aggregated vocabulary (orders of
+    magnitude smaller than the corpus); if it outgrows the broadcast
+    threshold the same plan degrades gracefully to a shuffle join keyed on
+    word. Ranking orders by the ROUNDED score (6 dp) with a word tie-break,
+    so the cross-engine float contract is deterministic.
+    """
+    words = documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )
+
+
 def repetition_profile(documents: DataFrame) -> DataFrame:
     """Intra-document repetition metrics — the published quality-filter
     family that removes boilerplate/spam by how much a document repeats

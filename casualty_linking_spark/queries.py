@@ -1733,6 +1733,28 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import cube_rollup
+
+    return cube_rollup(_events(spark, sf_dir))
+
+
+def oracle_events_cube() -> str:
+    """GROUPING(event_type, hod) bit order matches Spark's grouping_id()
+    (first column = most significant bit; verified empirically). hod is
+    cast to INT before grouping on both sides; the decimal-sum / BIGINT
+    cast discipline follows oracle_events_rollup."""
+    return """
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events)
+SELECT event_type, hod, count(*) AS n,
+       CAST(sum(v) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, hod) AS INT) AS gid
+FROM b GROUP BY CUBE (event_type, hod)"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.events import user_sessions
 
@@ -2793,6 +2815,57 @@ GROUP BY a.uri, b.uri"""
     )
 
 
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst, distinct) co-occurrence edge list — the shared
+    graph input for kg_entity_cooccurrence and kg_triangles."""
+    from .operators.gazetteer import entity_cooccurrence, gazetteer_mentions
+
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    labels = dims.dim_unit_labels(spark).select(
+        F.col("unit_uri").alias("uri"), "label"
+    ).unionByName(
+        dims.dim_rank_labels(spark).select(F.col("rank_uri").alias("uri"), "label")
+    )
+    m = gazetteer_mentions(t, labels, ["conv_id", "turn_idx"])
+    return entity_cooccurrence(m, ["conv_id"]).select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    )
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the entity co-occurrence graph — the
+    community-structure QA pass (triangle-dense clusters = entity cliques
+    mentioned together; input to clustering coefficients and spam-cluster
+    detection). Degree-ordered orientation bounds wedge fan-out by
+    O(sqrt(m)) — see operators/graph_rank.triangles."""
+    from .operators.graph_rank import triangles
+
+    return triangles(_cooccurrence_edges(spark, sf_dir))
+
+
+def oracle_kg_triangles() -> str:
+    """Independent formulation: plain 3-way self-join over the canonical
+    (a < b) undirected edge list — a < b < c falls out of canonicality, and
+    each triangle appears exactly once. The Spark side uses degree
+    orientation instead; identical hash proves the two agree."""
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte(), dims.rank_labels_cte()])
+        + _gazetteer_kept_sql(
+            "SELECT unit_uri AS uri, label FROM unit_labels "
+            "UNION ALL SELECT rank_uri AS uri, label FROM rank_labels"
+        )
+        + """
+, ents AS (SELECT DISTINCT conv_id, uri FROM kept),
+edges AS (
+  SELECT DISTINCT a.uri AS s, b.uri AS t
+  FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.uri < b.uri)
+SELECT e1.s AS a, e1.t AS b, e2.t AS c
+FROM edges e1
+JOIN edges e2 ON e2.s = e1.t
+JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t"""
+    )
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity near-dup over the transcript table: banded
     minhash on the union of per-turn shingle sets (the conversation is never
@@ -2922,6 +2995,43 @@ ranked AS (
 SELECT word, n, CAST(rank AS INT) AS rank,
        round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
 FROM ranked CROSS JOIN tot WHERE rank <= {VOCAB_TOP_N}"""
+
+
+# top-k cut for the TF-IDF contract query — small enough to be selective
+# over the synthetic corpus's ~31-word vocabulary
+TFIDF_TOP_K = 5
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_TOP_K)
+
+
+def oracle_text_tfidf() -> str:
+    """Same smoothed idf (``ln((N+1)/(df+1))``), same 6-dp round BEFORE the
+    rank window, same (tfidf DESC, word ASC) tie-break — ln() rounds
+    identically across the two engines (verified empirically over the df
+    range)."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> w != '')) AS word
+  FROM documents WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+docfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf t JOIN docfreq d USING (word) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
 
 
 # incoming-batch split for the incremental dedup contract: the curation
@@ -3318,6 +3428,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_khop": (q_kg_khop, oracle_kg_khop),
     "events_interval_join": (q_events_interval_join, oracle_events_interval_join),
     "kg_validity_intervals": (q_validity_intervals, oracle_validity_intervals),
+    "text_tfidf": (q_text_tfidf, oracle_text_tfidf),
+    "kg_triangles": (q_kg_triangles, oracle_kg_triangles),
+    "events_cube": (q_events_cube, oracle_events_cube),
 }
 
 

@@ -306,3 +306,45 @@ def test_corpus_vocab_plans_take_ordered(spark):
 
     plan = _plan(corpus_vocab(_docs(spark), top_n=10))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _tfdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_hand_corpus(spark):
+    """Hand-checked smoothed TF-IDF: N=3 tokenized docs (NULL text ignored),
+    tf * ln((N+1)/(df+1)) rounded to 6 dp, ranked per doc."""
+    import math
+
+    from casualty_linking_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _tfdocs(spark, [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry banana cherry"),
+        (4, None),
+    ])
+    out = {
+        (r.doc_id, r.word): (r.tf, r.df, r.tfidf, r.rank)
+        for r in tfidf_top_terms(docs, k=5).collect()
+    }
+    # df: apple 1, banana 3, cherry 2; N = 3
+    assert out[(1, "apple")] == (2, 1, round(2 * math.log(4 / 2), 6), 1)
+    assert out[(1, "banana")] == (1, 3, 0.0, 2)
+    assert out[(2, "cherry")] == (1, 2, round(math.log(4 / 3), 6), 1)
+    assert out[(3, "cherry")] == (2, 2, round(2 * math.log(4 / 3), 6), 1)
+    assert (4, None) not in {(d, None) for d, _ in out}  # no rows for NULL doc
+    assert all(d != 4 for d, _ in out)
+
+
+def test_tfidf_tie_breaks_alphabetically_and_k_cuts(spark):
+    from casualty_linking_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _tfdocs(spark, [(1, "zeta alpha"), (2, "filler words here")])
+    out = tfidf_top_terms(docs, k=1).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # doc 1: zeta and alpha have identical (tf=1, df=1) => identical tfidf;
+    # the word tie-break must pick 'alpha', and k=1 keeps exactly one row
+    assert len(out) == len(by_doc) == 2
+    assert by_doc[1].word == "alpha" and by_doc[1].rank == 1

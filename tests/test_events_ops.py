@@ -126,3 +126,33 @@ def test_interval_join_no_duplicate_pairs(spark):
     )
     # bucket (600s) much smaller than the interval: 7 exploded rows, 1 match
     assert interval_join(pts, iv, bucket_seconds=600).count() == 1
+
+
+def test_cube_rollup_grouping_sets_and_null_disambiguation(spark):
+    """All four grouping sets from one pass; a NULL event_type in the DATA
+    stays distinguishable from a CUBE subtotal NULL via gid (bit set =
+    column rolled up)."""
+    from casualty_linking_spark.operators.events import cube_rollup
+
+    t0 = dt.datetime(2024, 1, 1, 1, 0)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0, 1, "a", 2.0, "{}"),
+        (3, t0, 1, None, 4.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 2, 0), 1, "a", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.event_type, r.hod, r.gid): (r.n, r.sum_value)
+        for r in cube_rollup(df).collect()
+    }
+    assert len(out) == 8  # 3 detail + 2 per-type + 2 per-hour + grand total
+    assert out[("a", 1, 0)] == (2, 3.0)      # detail
+    assert out[(None, 1, 0)] == (1, 4.0)     # data NULL, gid says detail
+    assert out[(None, 1, 2)] == (3, 7.0)     # hour-1 subtotal over types
+    assert out[("a", None, 1)] == (3, 11.0)  # type-a subtotal over hours
+    assert out[(None, None, 3)] == (4, 15.0)  # grand total

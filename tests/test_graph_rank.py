@@ -118,3 +118,46 @@ def test_k_hop_disconnected_untouched(spark):
     seeds = spark.createDataFrame([("lonely",)], "vertex string")
     got = {r.vertex: r.dist for r in k_hop(edges, seeds, k=3).collect()}
     assert got == {"lonely": 0}
+
+
+def _uedges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_triangles_k4_enumerates_all_four(spark):
+    from casualty_linking_spark.operators.graph_rank import triangles
+
+    vs = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(vs) for y in vs[i + 1:]]
+    out = sorted(tuple(r) for r in triangles(_uedges(spark, pairs)).collect())
+    assert out == [
+        ("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d"),
+    ]
+
+
+def test_triangles_square_has_none(spark):
+    from casualty_linking_spark.operators.graph_rank import triangles
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    assert triangles(_uedges(spark, pairs)).count() == 0
+
+
+def test_triangles_hub_star_exactly_once(spark):
+    """A high-degree hub with one closing leaf-leaf edge: exactly one
+    triangle, found once — degree orientation must not duplicate it via
+    the hub's many wedges."""
+    from casualty_linking_spark.operators.graph_rank import triangles
+
+    pairs = [tuple(sorted(("h", f"l{i}"))) for i in range(6)] + [("l0", "l1")]
+    out = [tuple(r) for r in triangles(_uedges(spark, pairs)).collect()]
+    assert out == [("h", "l0", "l1")]
+
+
+def test_triangles_direction_and_duplicate_insensitive(spark):
+    """Mixed-direction duplicates and a self-loop collapse during
+    canonicalization instead of inflating degrees or double-counting."""
+    from casualty_linking_spark.operators.graph_rank import triangles
+
+    pairs = [("b", "a"), ("a", "b"), ("b", "c"), ("a", "c"), ("c", "c")]
+    out = [tuple(r) for r in triangles(_uedges(spark, pairs)).collect()]
+    assert out == [("a", "b", "c")]

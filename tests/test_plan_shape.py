@@ -202,3 +202,28 @@ def test_validity_intervals_single_shuffle(spark):
     plan = _plan(validity_intervals(v))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangles_plans_hash_joins_only(spark):
+    """triangles: wedge build + closure must plan as equi-joins (degree
+    tables broadcast); a nested-loop or cartesian anywhere means the
+    orientation predicate leaked into the join condition."""
+    from casualty_linking_spark.operators.graph_rank import triangles
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = _plan(triangles(e))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_idf_join_is_broadcast(spark):
+    """tfidf: the corpus-sized tf table must NOT reshuffle for the idf join
+    — the vocabulary-sized df side broadcasts (the only nested-loop allowed
+    is the single-row N crossJoin)."""
+    from casualty_linking_spark.queries import q_text_tfidf
+
+    plan = _plan(q_text_tfidf(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
