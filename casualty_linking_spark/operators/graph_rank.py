@@ -175,6 +175,12 @@ def triangles(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        # the edge list is referenced by the degree count, the orientation
+        # join and (via `oriented`) both wedge sides + the closure probe —
+        # cut lineage once so an expensive upstream (e.g. the gazetteer
+        # mention pipeline) is computed once, not per reference (the k_hop /
+        # CC checkpoint discipline)
+        .localCheckpoint(eager=True)
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
@@ -198,7 +204,9 @@ def triangles(edges: DataFrame) -> DataFrame:
         F.when(low_first, key(F.col("dd"), F.col("dst")))
         .otherwise(key(F.col("sd"), F.col("src")))
         .alias("wkey"),
-    )
+        # oriented feeds both wedge sides and the closure probe: materialize
+        # once (edge-sized, same as the input)
+    ).localCheckpoint(eager=True)
     wedges = (
         oriented.select("u", F.col("w").alias("v1"), F.col("wkey").alias("k1"))
         .join(
