@@ -214,6 +214,52 @@ def corpus_vocab(documents: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def response_latency(transcripts: DataFrame) -> DataFrame:
+    """Per user turn: which assistant turn answered it, how many turns sat
+    in between (tool calls, retries), and the wall-clock wait — THE
+    agent-transcript latency/SLA query.
+
+    Contract: event time is non-decreasing in ``turn_idx`` within a
+    conversation (the input_hint's stable (conv_id, turn_idx) ordering
+    invariant), so the earliest-``ts`` assistant in the forward window IS
+    the next assistant by index. That makes the whole operator ONE window
+    pass — a single Exchange on conv_id, no self-join: the answering turn's
+    index and timestamp are both forward-window minima over
+    assistant-filtered CASEs. Unanswered user turns (conversation ends
+    first) surface with NULL answer columns rather than being dropped."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ans_idx = F.min(
+        F.when(F.col("role") == "assistant", F.col("turn_idx"))
+    ).over(w)
+    ans_ts = F.min(F.when(F.col("role") == "assistant", F.col("ts"))).over(w)
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "ts",
+            ans_idx.alias("ans_turn_idx"),
+            ans_ts.alias("ans_ts"),
+        )
+        .where(F.col("role") == "user")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ans_turn_idx",
+            (F.col("ans_turn_idx") - F.col("turn_idx") - 1)
+            .cast("int")
+            .alias("n_intervening"),
+            (F.unix_timestamp("ans_ts") - F.unix_timestamp("ts"))
+            .cast("bigint")
+            .alias("latency_sec"),
+        )
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, word, tf, df, tfidf, rank) — each document's ``k`` most
     characteristic terms by TF-IDF (smoothed: ``tf * ln((N+1)/(df+1))``),

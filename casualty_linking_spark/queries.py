@@ -2866,6 +2866,71 @@ JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t"""
     )
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per co-occurrence-graph vertex — the
+    community-cohesion QA metric (2T(v)/(d(v)(d(v)-1))), composed from the
+    degree-oriented triangle enumerator + the degree profile."""
+    from .operators.graph_rank import clustering_coefficient
+
+    return clustering_coefficient(_cooccurrence_edges(spark, sf_dir))
+
+
+def oracle_kg_clustering() -> str:
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte(), dims.rank_labels_cte()])
+        + _gazetteer_kept_sql(
+            "SELECT unit_uri AS uri, label FROM unit_labels "
+            "UNION ALL SELECT rank_uri AS uri, label FROM rank_labels"
+        )
+        + """
+, ents AS (SELECT DISTINCT conv_id, uri FROM kept),
+edges AS (
+  SELECT DISTINCT a.uri AS s, b.uri AS t
+  FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.uri < b.uri),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.s = e1.t
+  JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t),
+tv AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY v),
+deg AS (
+  SELECT v, count(*) AS degree FROM (
+    SELECT s AS v FROM edges UNION ALL SELECT t FROM edges)
+  GROUP BY v)
+SELECT d.v AS vertex, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(tv.n_tri, 0) / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tv ON tv.v = d.v"""
+    )
+
+
+def q_transcripts_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import response_latency
+
+    return response_latency(synth.transcripts_from_sf(spark, sf_dir))
+
+
+def oracle_transcripts_latency() -> str:
+    return synth.oracle_prelude() + """
+, ans AS (
+  SELECT conv_id, turn_idx, role, ts,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END)
+           OVER w AS ans_turn_idx,
+         min(CASE WHEN role = 'assistant' THEN ts END) OVER w AS ans_ts
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT conv_id, turn_idx, ans_turn_idx,
+       CAST(ans_turn_idx - turn_idx - 1 AS INT) AS n_intervening,
+       CAST(date_diff('second', ts, ans_ts) AS BIGINT) AS latency_sec
+FROM ans WHERE role = 'user'"""
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity near-dup over the transcript table: banded
     minhash on the union of per-turn shingle sets (the conversation is never
@@ -3431,6 +3496,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "text_tfidf": (q_text_tfidf, oracle_text_tfidf),
     "kg_triangles": (q_kg_triangles, oracle_kg_triangles),
     "events_cube": (q_events_cube, oracle_events_cube),
+    "kg_clustering": (q_kg_clustering, oracle_kg_clustering),
+    "transcripts_latency": (q_transcripts_latency, oracle_transcripts_latency),
 }
 
 

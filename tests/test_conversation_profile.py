@@ -80,3 +80,35 @@ def test_profile_is_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 1
+
+
+def test_response_latency_tool_turns_and_unanswered(spark):
+    """Latency is to the NEXT assistant turn (tool turns counted as
+    intervening, non-uniform gaps respected); a trailing user turn with no
+    assistant after it surfaces with NULL answer columns."""
+    import datetime as dt
+
+    from casualty_linking_spark.operators.text_analysis import response_latency
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        ("c1", 0, "user", "q1", None, s(0)),
+        ("c1", 1, "tool", "t", "search", s(5)),
+        ("c1", 2, "tool", "t", "search", s(9)),
+        ("c1", 3, "assistant", "a1", None, s(30)),
+        ("c1", 4, "user", "q2", None, s(40)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r.turn_idx: (r.ans_turn_idx, r.n_intervening, r.latency_sec)
+           for r in response_latency(df).collect()}
+    assert out[0] == (3, 2, 30)
+    assert out[4] == (None, None, None)
+    assert set(out) == {0, 4}

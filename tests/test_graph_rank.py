@@ -161,3 +161,19 @@ def test_triangles_direction_and_duplicate_insensitive(spark):
     pairs = [("b", "a"), ("a", "b"), ("b", "c"), ("a", "c"), ("c", "c")]
     out = [tuple(r) for r in triangles(_uedges(spark, pairs)).collect()]
     assert out == [("a", "b", "c")]
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle + pendant: coefficient 1.0 on the 2-degree corners, 1/3 on
+    the corner that also carries the pendant, 0.0 on the degree-1 leaf."""
+    from casualty_linking_spark.operators.graph_rank import clustering_coefficient
+
+    e = _uedges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = {r.vertex: (r.degree, r.n_triangles, r.coeff)
+           for r in clustering_coefficient(e).collect()}
+    assert out == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, 0.333333),
+        "d": (1, 0, 0.0),
+    }

@@ -227,3 +227,18 @@ def test_tfidf_idf_join_is_broadcast(spark):
     plan = _plan(q_text_tfidf(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_response_latency_single_window_pass(spark):
+    """response_latency: ONE window pass — a single hashpartitioning
+    Exchange on conv_id (plus the loader spread), no self-join back to the
+    transcript table."""
+    from casualty_linking_spark.operators.text_analysis import response_latency
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "q", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    plan = _plan(response_latency(t))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
