@@ -11,7 +11,7 @@ JSON extraction (``props -> k``) uses the engines' native JSON functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -55,6 +55,37 @@ def cube_rollup(events: DataFrame) -> DataFrame:
             F.sum("v").cast("double").alias("sum_value"),
             F.grouping_id().cast("int").alias("gid"),
         )
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_active) — classic cohort retention: users
+    grouped by the calendar day of their FIRST event, counted active on
+    each later day. The growth/engagement rollup every event pipeline
+    ships, and the canonical two-level-aggregation shape.
+
+    One window pass assigns each event its user's cohort day (single
+    Exchange on user_id — no groupBy+join-back round trip), then a
+    count_distinct per (cohort, offset): Spark plans the distinct as a
+    partial-aggregated expand, so the shuffle carries (cohort × offset ×
+    user) triples already deduplicated map-side — bounded by active-user
+    days, never raw events. Offsets are integer day arithmetic (no
+    week-truncation semantics to disagree on across engines)."""
+    w = Window.partitionBy("user_id")
+    d = F.to_date("ts")
+    return (
+        events.select(
+            F.min(d).over(w).alias("cohort_day"),
+            d.alias("day"),
+            "user_id",
+        )
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
     )
 
 

@@ -309,6 +309,48 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def bigram_model(documents: DataFrame) -> DataFrame:
+    """(w1, w2, n, p) — corpus bigram table with conditional probabilities
+    ``P(w2|w1) = n(w1,w2) / Σ_w n(w1,w)``, the n-gram LM estimation step
+    (KenLM-style corpus prep) and the companion to ``corpus_vocab``'s
+    unigram table.
+
+    One corpus scan builds per-doc adjacent word pairs JVM-side (transform
+    over the shared tokenizer — bigrams never cross document boundaries),
+    explodes, and map-side-combines into the bigram count table, so the
+    shuffle carries the bigram VOCABULARY, not the corpus. The conditional
+    denominator is a window sum over that already-aggregated table
+    partitioned by w1 (vocabulary-sized — no join back, no second corpus
+    scan). Probabilities are rounded to 6 dp for the cross-engine
+    contract."""
+    from .dedup import words_col
+
+    wds = words_col(F.col("text"))
+    pairs = F.when(
+        F.size(wds) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wds) - 1),
+            lambda i: F.struct(
+                F.element_at(wds, i).alias("w1"),
+                F.element_at(wds, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        documents.where(F.col("text").isNotNull())
+        .select(F.explode(pairs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
 def repetition_profile(documents: DataFrame) -> DataFrame:
     """Intra-document repetition metrics — the published quality-filter
     family that removes boilerplate/spam by how much a document repeats

@@ -3099,6 +3099,44 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
 
 
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import bigram_model
+
+    return bigram_model(_docs(spark, sf_dir))
+
+
+def oracle_text_bigrams() -> str:
+    return r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> x != '') AS wd
+  FROM documents WHERE text IS NOT NULL),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(wd) - 1),
+                               i -> struct_pack(w1 := wd[i], w2 := wd[i + 1]))) AS bg
+  FROM w WHERE len(wd) >= 2),
+counts AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n FROM pairs GROUP BY 1, 2)
+SELECT w1, w2, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 6) AS p
+FROM counts"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+def oracle_events_retention() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events)
+SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       count(DISTINCT user_id) AS n_active
+FROM e GROUP BY 1, 2"""
+
+
 # incoming-batch split for the incremental dedup contract: the curation
 # "test" bucket (md5 bucket >= 224, ~12.5%) plays the newly-arrived batch,
 # the rest is the existing corpus — deterministic and scale-proportional
@@ -3498,6 +3536,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_cube": (q_events_cube, oracle_events_cube),
     "kg_clustering": (q_kg_clustering, oracle_kg_clustering),
     "transcripts_latency": (q_transcripts_latency, oracle_transcripts_latency),
+    "text_bigrams": (q_text_bigrams, oracle_text_bigrams),
+    "events_retention": (q_events_retention, oracle_events_retention),
 }
 
 

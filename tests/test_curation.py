@@ -348,3 +348,23 @@ def test_tfidf_tie_breaks_alphabetically_and_k_cuts(spark):
     # the word tie-break must pick 'alpha', and k=1 keeps exactly one row
     assert len(out) == len(by_doc) == 2
     assert by_doc[1].word == "alpha" and by_doc[1].rank == 1
+
+
+def test_bigram_model_conditional_probabilities(spark):
+    """Bigrams never cross documents; P(w2|w1) normalizes over each w1's
+    continuations; single-word and NULL docs contribute nothing."""
+    from casualty_linking_spark.operators.text_analysis import bigram_model
+
+    docs = _tfdocs(spark, [
+        (1, "a b a b"),
+        (2, "b a"),
+        (3, "a c"),
+        (4, "solo"),
+        (5, None),
+    ])
+    out = {(r.w1, r.w2): (r.n, r.p) for r in bigram_model(docs).collect()}
+    # doc1: (a,b)x2 (b,a)x1; doc2: (b,a); doc3: (a,c)
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (2, 1.0)
+    assert len(out) == 3

@@ -156,3 +156,27 @@ def test_cube_rollup_grouping_sets_and_null_disambiguation(spark):
     assert out[(None, 1, 2)] == (3, 7.0)     # hour-1 subtotal over types
     assert out[("a", None, 1)] == (3, 11.0)  # type-a subtotal over hours
     assert out[(None, None, 3)] == (4, 15.0)  # grand total
+
+
+def test_retention_cohorts_hand_data(spark):
+    """Two users in the Jan-1 cohort (one active again on day 2), one user
+    in the Jan-3 cohort; repeat events on the same day count once."""
+    from casualty_linking_spark.operators.events import retention_cohorts
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9), 10, 1.0),
+        (2, d(2024, 1, 1, 17), 10, 1.0),   # same user+day dedups
+        (3, d(2024, 1, 3, 9), 10, 1.0),    # u10 active at offset 2
+        (4, d(2024, 1, 1, 9), 20, 1.0),
+        (5, d(2024, 1, 3, 9), 30, 1.0),    # second cohort
+    ]
+    out = {
+        (str(r.cohort_day), r.day_offset): r.n_active
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }

@@ -242,3 +242,29 @@ def test_response_latency_single_window_pass(spark):
     plan = _plan(response_latency(t))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_retention_single_window_then_agg(spark):
+    """retention_cohorts: window on user_id + distinct-agg — no join back
+    to the event table, no more than the two key Exchanges (plus AQE
+    coalesces)."""
+    from casualty_linking_spark.operators.events import retention_cohorts
+
+    e = spark.createDataFrame(
+        [(1, 7)], "event_id long, user_id long"
+    ).withColumn("ts", F.current_timestamp())
+    plan = _plan(retention_cohorts(e))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_bigram_model_no_join_no_second_scan(spark):
+    """bigram_model: one corpus scan, map-side-combined counts, window
+    denominator over the AGGREGATED table — never a join back or a second
+    scan of documents."""
+    from casualty_linking_spark.operators.text_analysis import bigram_model
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(bigram_model(d))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ExistingRDD") <= 1, plan
