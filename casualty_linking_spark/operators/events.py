@@ -89,6 +89,74 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """(step, event_type, n_users) — ordered funnel conversion: a user
+    completes step k when an event of the k-th type occurs STRICTLY after
+    their step-(k-1) completion time (same-timestamp events do not advance
+    the funnel; step 1 is the user's first event of the first type). The
+    canonical product-analytics query — the shape ClickHouse ships a
+    dedicated windowFunnel() for.
+
+    Joinless and single-Exchange: each step time is a conditional min over
+    the SAME user_id window partitioning, so Spark chains the Window
+    operators behind one Exchange and funnel depth adds ZERO shuffles
+    (plan-asserted); the per-user collapse then reuses that partitioning
+    (groupBy on the window's own key — no new Exchange), and only K counts
+    cross the final single-row aggregation. No per-user arrays are ever
+    collected — a whale user costs window-scan time, not executor memory."""
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "ts", "event_type")
+    prev = None
+    for i, st in enumerate(steps, 1):
+        cond = F.col("event_type") == st
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(f"t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(st).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, st in enumerate(steps, 1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def hopping_rollup(events: DataFrame) -> DataFrame:
+    """(ws, event_type, n, sum_value) — 1-hour windows sliding every 30
+    minutes: each event lands in exactly TWO overlapping windows (the
+    smoothed dashboard rollup / rate-limiter shape; the hopping counterpart
+    of :func:`hourly_rollup`). Spark's native window(ts, size, slide)
+    expands the assignment BEFORE the exchange and partial-aggregates each
+    copy, so the shuffle carries 2× the (window × type) group cardinality —
+    bounded by the group space, never 2× the events. Sums go through
+    DECIMAL (order-free — the events_rollup discipline)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.alias("ws"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     """Gap-based session windows per user (session_window): a session is a
     maximal run of events with inter-event gaps < ``gap``; end = last event

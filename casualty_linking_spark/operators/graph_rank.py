@@ -26,7 +26,7 @@ count, not convergence-tested: deterministic plans, bounded rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 10**12
 N_ITER = 6
@@ -272,3 +272,56 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("coeff"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(uri, label) — community detection by SYNCHRONOUS label propagation
+    over weighted undirected edges (uri_a, uri_b, weight): every vertex
+    starts labeled with itself; each round it adopts the label carrying
+    the largest total edge weight among its neighbors' current labels,
+    ties broken by the smallest label string. Classic LPA (Raghavan et
+    al. 2007, Phys. Rev. E 76) made engine-exact: asynchronous LPA is
+    visit-order dependent and could never be hash-checked across engines;
+    synchronous rounds + a total tie order make every round a pure
+    function of the previous one, so the DuckDB oracle unrolls the same
+    recurrence (the CC / fixed-point-PageRank discipline).
+
+    Per round: the both-directions edge table joins the label frame on
+    src (the big side is bucketable on src at 100 TB — same shape as the
+    PageRank push join), the weighted vote aggregation map-side combines,
+    and the per-vertex argmax is a row_number window over the SAME dst
+    partitioning the aggregation just produced — no extra Exchange.
+    Lineage is cut per round with a lazy localCheckpoint (the 3^rounds
+    lesson). Rounds are a fixed count, not convergence-tested:
+    deterministic plans, bounded work; synchronous LPA can 2-cycle on
+    bipartite-ish regions, and a fixed horizon is the standard remedy."""
+    both = (
+        edges.select(
+            F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), "weight"
+        )
+        .unionByName(
+            edges.select(
+                F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), "weight"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        both.select(F.col("src").alias("uri"))
+        .distinct()
+        .select("uri", F.col("uri").alias("label"))
+    )
+    for _ in range(rounds):
+        votes = (
+            both.join(labels.withColumnRenamed("uri", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        win = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("uri"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -3137,6 +3137,121 @@ SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
 FROM e GROUP BY 1, 2"""
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase) — joinless
+    chained-window formulation, one user_id Exchange regardless of depth."""
+    from .operators.events import funnel
+
+    return funnel(_events(spark, sf_dir), steps=FUNNEL_STEPS)
+
+
+def oracle_events_funnel() -> str:
+    """Same chained conditional-min windows, written as nested CTEs — step
+    k's strictly-after condition references step k-1's window result."""
+    return """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2),
+pu AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+       FROM w3 GROUP BY 1)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type, count(t1) AS n_users FROM pu
+UNION ALL SELECT 2, 'click', count(t2) FROM pu
+UNION ALL SELECT 3, 'purchase', count(t3) FROM pu"""
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import hopping_rollup
+
+    return hopping_rollup(_events(spark, sf_dir))
+
+
+def oracle_events_hopping() -> str:
+    """Each event belongs to exactly two 1h/30min hopping windows: starts
+    time_bucket_30(ts) and time_bucket_30(ts) − 30 min (ws ≤ ts holds since
+    the bucket floors; ts < ws + 1h holds since ws ≥ bucket − 30 min)."""
+    return """
+WITH x AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+SELECT ws, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2"""
+
+
+LPA_ROUNDS = 3
+
+
+def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the WEIGHTED entity co-occurrence graph —
+    synchronous label propagation, deterministic tie order, fixed rounds."""
+    from .operators.gazetteer import entity_cooccurrence, gazetteer_mentions
+    from .operators.graph_rank import label_propagation
+
+    t = synth.transcripts_from_sf(spark, sf_dir)
+    labels = dims.dim_unit_labels(spark).select(
+        F.col("unit_uri").alias("uri"), "label"
+    ).unionByName(
+        dims.dim_rank_labels(spark).select(F.col("rank_uri").alias("uri"), "label")
+    )
+    m = gazetteer_mentions(t, labels, ["conv_id", "turn_idx"])
+    edges = entity_cooccurrence(m, ["conv_id"]).withColumnRenamed(
+        "n_units", "weight"
+    )
+    return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+def oracle_kg_label_propagation() -> str:
+    """The synchronous recurrence unrolled (the CC/pagerank oracle
+    discipline): per round, weighted neighbor-label votes then argmax per
+    vertex with (weight DESC, label ASC) — DuckDB's row_number is its own
+    independent implementation of the same total order."""
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        prev = "l0" if r == 1 else f"l{r - 1}"
+        rounds.append(f"""
+, v{r} AS (
+  SELECT b.dst, l.label, sum(b.w) AS w
+  FROM bidir b JOIN {prev} l ON b.src = l.uri GROUP BY 1, 2),
+l{r} AS (
+  SELECT dst AS uri, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY w DESC, label ASC) AS rn
+    FROM v{r}) WHERE rn = 1)""")
+    return (
+        synth.oracle_prelude([dims.unit_labels_cte(), dims.rank_labels_cte()])
+        + _gazetteer_kept_sql(
+            "SELECT unit_uri AS uri, label FROM unit_labels "
+            "UNION ALL SELECT rank_uri AS uri, label FROM rank_labels"
+        )
+        + """
+, ents AS (SELECT DISTINCT conv_id, uri FROM kept),
+edges AS (
+  SELECT a.uri AS uri_a, b.uri AS uri_b, CAST(count(*) AS BIGINT) AS w
+  FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.uri < b.uri
+  GROUP BY 1, 2),
+bidir AS (
+  SELECT uri_a AS src, uri_b AS dst, w FROM edges
+  UNION ALL SELECT uri_b, uri_a, w FROM edges),
+l0 AS (SELECT DISTINCT src AS uri, src AS label FROM bidir)"""
+        + "".join(rounds)
+        + f"\nSELECT uri, label FROM l{LPA_ROUNDS}"
+    )
+
+
 # incoming-batch split for the incremental dedup contract: the curation
 # "test" bucket (md5 bucket >= 224, ~12.5%) plays the newly-arrived batch,
 # the rest is the existing corpus — deterministic and scale-proportional
@@ -3538,6 +3653,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "transcripts_latency": (q_transcripts_latency, oracle_transcripts_latency),
     "text_bigrams": (q_text_bigrams, oracle_text_bigrams),
     "events_retention": (q_events_retention, oracle_events_retention),
+    "events_funnel": (q_events_funnel, oracle_events_funnel),
+    "events_hopping": (q_events_hopping, oracle_events_hopping),
+    "kg_label_propagation": (q_kg_label_propagation, oracle_kg_label_propagation),
 }
 
 

@@ -180,3 +180,64 @@ def test_retention_cohorts_hand_data(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-03", 0): 1,
     }
+
+
+def _evt(spark, rows):
+    """(event_id, ts, user_id, event_type, value) frames for funnel tests."""
+    return spark.createDataFrame(
+        [(i, ts, uid, et, v, "{}") for (i, ts, uid, et, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_strict_order_hand_data(spark):
+    """Steps must occur in strictly increasing ts: a click BEFORE the first
+    view doesn't count, a click AT the view's timestamp doesn't count, and
+    a purchase before the qualifying click doesn't count."""
+    from casualty_linking_spark.operators.events import funnel
+
+    d = dt.datetime
+    rows = [
+        # u1: complete funnel
+        (1, d(2024, 1, 1, 9), 1, "view", 1.0),
+        (2, d(2024, 1, 1, 10), 1, "click", 1.0),
+        (3, d(2024, 1, 1, 11), 1, "purchase", 1.0),
+        # u2: click precedes the view -> stops at step 1
+        (4, d(2024, 1, 1, 8), 2, "click", 1.0),
+        (5, d(2024, 1, 1, 9), 2, "view", 1.0),
+        # u3: view only
+        (6, d(2024, 1, 1, 9), 3, "view", 1.0),
+        # u4: click TIED with view (strictly-after fails); orphan purchase
+        (7, d(2024, 1, 1, 9), 4, "view", 1.0),
+        (8, d(2024, 1, 1, 9), 4, "click", 1.0),
+        (9, d(2024, 1, 1, 10), 4, "purchase", 1.0),
+        # u5: early purchase doesn't count, later click does
+        (10, d(2024, 1, 1, 8), 5, "purchase", 1.0),
+        (11, d(2024, 1, 1, 9), 5, "view", 1.0),
+        (12, d(2024, 1, 1, 9, 30), 5, "click", 1.0),
+        (13, d(2024, 1, 1, 9, 15), 5, "purchase", 1.0),
+    ]
+    out = {r.step: (r.event_type, r.n_users) for r in funnel(_evt(spark, rows)).collect()}
+    assert out == {1: ("view", 5), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_hopping_rollup_two_windows_per_event(spark):
+    """1h/30min hopping: an event at :15 lands in the :00 window and the
+    previous :30 window — exactly two rows each, decimal-exact sums."""
+    from casualty_linking_spark.operators.events import hopping_rollup
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9, 15), 1, 1.25),
+        (2, d(2024, 1, 1, 9, 45), 1, 2.0),
+    ]
+    out = {
+        (str(r.ws), r.event_type): (r.n, r.sum_value)
+        for r in hopping_rollup(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01 08:30:00", "x"): (1, 1.25),
+        ("2024-01-01 09:00:00", "x"): (2, 3.25),
+        ("2024-01-01 09:30:00", "x"): (1, 2.0),
+    }

@@ -177,3 +177,38 @@ def test_clustering_coefficient_hand_graph(spark):
         "c": (3, 1, 0.333333),
         "d": (1, 0, 0.0),
     }
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "uri_a string, uri_b string, weight long")
+
+
+def test_label_propagation_two_cliques_weak_bridge(spark):
+    """Two weight-3 triangles joined by one weight-1 bridge: after 3
+    synchronous rounds each triangle converges to its min member label and
+    the bridge does NOT merge the communities (hand-unrolled recurrence)."""
+    from casualty_linking_spark.operators.graph_rank import label_propagation
+
+    e = _wedges(spark, [
+        ("a", "b", 3), ("a", "c", 3), ("b", "c", 3),
+        ("x", "y", 3), ("x", "z", 3), ("y", "z", 3),
+        ("c", "x", 1),
+    ])
+    out = {r.uri: r.label for r in label_propagation(e, rounds=3).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_synchronous_tiebreak_deterministic(spark):
+    """Path a-b-c with equal weights 2-cycles under SYNCHRONOUS updates
+    (the documented bipartite oscillation) — the fixed 3-round horizon
+    lands on the hand-unrolled state, identically on every run."""
+    from casualty_linking_spark.operators.graph_rank import label_propagation
+
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", 1)])
+    # r1: a<-{b}='b'; b<-{a,c} tie->'a'; c<-{b}='b'
+    # r2: a<-{b:'a'}='a'; b<-{a:'b', c:'b'}='b'; c<-{b:'a'}='a'
+    # r3: a<-'b'; b<-{'a','a'}='a'; c<-'b'
+    expect = {"a": "b", "b": "a", "c": "b"}
+    for _ in range(2):
+        out = {r.uri: r.label for r in label_propagation(e, rounds=3).collect()}
+        assert out == expect

@@ -268,3 +268,33 @@ def test_bigram_model_no_join_no_second_scan(spark):
     plan = _plan(bigram_model(d))
     assert "Join" not in plan, plan
     assert plan.count("Scan ExistingRDD") <= 1, plan
+
+
+def test_funnel_single_exchange_any_depth(spark):
+    """funnel: every step's conditional min shares ONE user_id window
+    Exchange, the per-user collapse reuses that partitioning, and only the
+    K counts cross the final single-partition agg — no joins, and funnel
+    DEPTH adds zero Exchanges (checked at depth 3 and 5)."""
+    from casualty_linking_spark.operators.events import funnel
+
+    e = spark.createDataFrame(
+        [(1, 7, "view")], "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.current_timestamp())
+    for steps in [("view", "click", "purchase"),
+                  ("view", "click", "signup", "purchase", "error")]:
+        plan = _plan(funnel(e, steps=steps))
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hopping_rollup_single_shuffle(spark):
+    """hopping_rollup: the 2x window expansion happens map-side before one
+    partial-aggregated Exchange — never a join or a second scan."""
+    from casualty_linking_spark.operators.events import hopping_rollup
+
+    e = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    ).withColumn("ts", F.current_timestamp())
+    plan = _plan(hopping_rollup(e))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
