@@ -218,6 +218,84 @@ def stream_hourly_rollup(
     )
 
 
+def stream_interval_join(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_path: str,
+    window_sec: int,
+    watermark_sec: int,
+    max_files: int = 8,
+):
+    """Streaming face of :func:`interval_join` — a WATERMARKED STREAM-STREAM
+    inner join (the canonical Structured Streaming two-stream pattern):
+    error incidents joined to same-user purchases inside the half-open
+    ``window_sec`` window after each incident, both sides read from the same
+    event stream. Watermarks on BOTH event-time columns plus the time-range
+    join condition let Spark bound the join state: a buffered incident can
+    be evicted once the purchase-side watermark passes
+    ``incident_ts + window_sec``, and vice versa — state is proportional to
+    the in-flight window, never the stream history.
+
+    Inner-join results are emitted as matches are found (append mode needs
+    no watermark-close wait for inner joins), so one availableNow pass over
+    a replay yields the complete join iff no row is dropped as late — the
+    caller must size ``watermark_sec`` above the replay's event-time
+    disorder (for hash-partitioned historical files that is the full ts
+    span — the round-4 sessionize lesson, applied at design time).
+
+    Returns the started query; caller awaits it and reads ``out_path``."""
+    from ..schema import EVENTS_SCHEMA
+
+    def src():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(input_dir)
+        )
+
+    wm = f"{watermark_sec} seconds"
+    inc = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("incident_ts"),
+            F.col("user_id").alias("i_user"),
+        )
+        .withWatermark("incident_ts", wm)
+    )
+    pur = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+        .withWatermark("ts", wm)
+    )
+    joined = inc.join(
+        pur,
+        F.expr(
+            "user_id = i_user AND ts >= incident_ts "
+            f"AND ts < incident_ts + INTERVAL {int(window_sec)} SECOND"
+        ),
+        "inner",
+    ).select(
+        "incident_id",
+        "incident_ts",
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("timestampdiff(MICROSECOND, incident_ts, ts)").alias("delta_us"),
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

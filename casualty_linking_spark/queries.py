@@ -3522,6 +3522,39 @@ FROM e JOIN p ON p.user_id = e.user_id AND p.ts >= e.incident_ts
              AND p.ts < e.incident_ts + INTERVAL {INCIDENT_WINDOW_SEC} SECOND"""
 
 
+def q_events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 stream-stream join: the interval-join contract run as a
+    WATERMARKED two-stream inner join over an adversarial replay —
+    64 hash-partitioned (ts-unordered) files, 8-file triggers forcing
+    multiple micro-batches on every host. Watermark delay = data span + 60 s
+    (replay disorder can reach the full span; the round-4 lesson), so the
+    single availableNow pass is loss-free and the result must equal the
+    BATCH naive join — same oracle as events_interval_join."""
+    import tempfile
+
+    from .operators.events import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix="ev_ssj_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev = _events(spark, sf_dir)
+    ev.repartition(SESSIONS_REPLAY_FILES, "event_id").write.mode(
+        "overwrite"
+    ).parquet(inp)
+    min_ts, max_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_s = int((max_ts - min_ts).total_seconds())
+    q = stream_interval_join(
+        spark, inp, ckpt, outp,
+        window_sec=INCIDENT_WINDOW_SEC,
+        watermark_sec=span_s + 60,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outp)
+
+
+def oracle_events_streaming_interval_join() -> str:
+    return oracle_events_interval_join()
+
+
 def q_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 audit trail over the correction-batch history of the functional
     rank_literal predicate: batch 0 is the constructed graph's value, batch 1
@@ -3656,6 +3689,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_funnel": (q_events_funnel, oracle_events_funnel),
     "events_hopping": (q_events_hopping, oracle_events_hopping),
     "kg_label_propagation": (q_kg_label_propagation, oracle_kg_label_propagation),
+    "events_streaming_interval_join": (
+        q_events_streaming_interval_join,
+        oracle_events_streaming_interval_join,
+    ),
 }
 
 

@@ -241,3 +241,42 @@ def test_hopping_rollup_two_windows_per_event(spark):
         ("2024-01-01 09:00:00", "x"): (2, 3.25),
         ("2024-01-01 09:30:00", "x"): (1, 2.0),
     }
+
+
+def test_stream_interval_join_cross_batch_match(spark):
+    """Stream-stream join must match pairs that arrive in DIFFERENT
+    micro-batches in event-time-reversed order: the purchase's file is
+    replayed before its incident's file (maxFilesPerTrigger=1 forces one
+    file per batch), so the buffered purchase must still be joined when the
+    incident arrives — and a span-sized watermark must keep it loss-free."""
+    import tempfile
+
+    from casualty_linking_spark.operators.events import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix="t_ssj_")
+    inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    d = dt.datetime
+    # file 0: LATER purchase events; file 1: the EARLIER error incident
+    _ev_rows = [
+        # (event_id, ts, user_id, event_type, value)
+        [(2, d(2024, 1, 1, 9, 10), 7, "purchase", 1.0),
+         (3, d(2024, 1, 1, 9, 40), 7, "purchase", 1.0),   # outside 30 min
+         (4, d(2024, 1, 1, 9, 5), 8, "purchase", 1.0)],   # other user
+        [(1, d(2024, 1, 1, 9, 0), 7, "error", 1.0)],
+    ]
+    for i, rows in enumerate(_ev_rows):
+        spark.createDataFrame(
+            [(e, ts, u, et, v, "{}") for (e, ts, u, et, v) in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+    q = stream_interval_join(
+        spark, inp, ckpt, outp,
+        window_sec=1800, watermark_sec=24 * 3600, max_files=1,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(outp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.incident_id, r.event_id, r.user_id) == (1, 2, 7)
+    assert r.delta_us == 10 * 60 * 1_000_000

@@ -23,6 +23,7 @@ STATEFUL_STREAMING = [
     "events_streaming_rollup",
     "events_rollup",
     "events_sessions",
+    "events_streaming_interval_join",
 ]
 
 
