@@ -157,6 +157,67 @@ def hopping_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def approx_distinct_kmv(events: DataFrame, k: int = 8) -> DataFrame:
+    """(event_type, n_kept, est_distinct) — approximate distinct users per
+    event type via a K-MINIMUM-VALUES sketch (Bar-Yossef et al. 2002): hash
+    every member to [0,1), keep the k smallest distinct hashes, estimate
+    |D| ≈ (k−1) / h_k. The sketch family engines ship as HLL — chosen here
+    in its KMV form because md5 is bit-identical across engines, so unlike
+    HLL the ESTIMATE itself is deterministic and value-hash-checkable
+    against an independent implementation (groups with fewer than k members
+    fall back to their exact count, also deterministic).
+
+    Scale shape: the pre-sketch distinct is a map-side partial aggregation
+    (the shuffle carries distinct (type, hash) pairs — the same bound as
+    count_distinct, and the k-smallest selection is a row_number window
+    over the partitioning that distinct already produced (no extra
+    Exchange); only k rows per group survive to the final agg. h_k maps to
+    a fraction via its first 8 hex nibbles (conv(…,16,10) / 2^32 — verified
+    bit-equal to DuckDB's ('0x'||…)::BIGINT), estimate rounded 4 dp."""
+    pairs = (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    n = F.count(F.lit(1))
+    frac = F.conv(F.substring(F.max("h"), 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+    return kept.groupBy("event_type").agg(
+        n.alias("n_kept"),
+        F.round(
+            F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / frac),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def value_histogram(
+    events: DataFrame, width: float = 50.0, n_bins: int = 10
+) -> DataFrame:
+    """(event_type, bin, n, sum_value) — fixed-width value histogram with a
+    clamped overflow bin (bin = min(floor(value/width), n_bins−1)), the
+    distribution profile behind dashboards and data-quality gates. One
+    map-side-combinable shuffle carrying (type × bin) groups; the bin
+    arithmetic is spelled identically in both engines (floor of an IEEE
+    double division — bit-deterministic) instead of leaning on
+    width_bucket, whose edge conventions differ across engines; decimal
+    order-free sums (the rollup discipline)."""
+    b = F.least(F.floor(F.col("value") / width), F.lit(n_bins - 1)).cast("int")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     """Gap-based session windows per user (session_window): a session is a
     maximal run of events with inter-event gaps < ``gap``; end = last event

@@ -3192,6 +3192,56 @@ SELECT ws, event_type, count(*) AS n,
 FROM x GROUP BY 1, 2"""
 
 
+KMV_K = 8
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV approximate-distinct sketch — deterministic (md5-based), so the
+    estimate itself is hash-checked against DuckDB's independent
+    implementation; the verifiable stand-in for HLL."""
+    from .operators.events import approx_distinct_kmv
+
+    return approx_distinct_kmv(_events(spark, sf_dir), k=KMV_K)
+
+
+def oracle_events_approx_distinct() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM pairs) WHERE rn <= {KMV_K})
+SELECT event_type, count(*) AS n_kept,
+       round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+             ELSE {float(KMV_K - 1)} /
+                  (CAST(('0x' || substr(max(h), 1, 8))::BIGINT AS DOUBLE)
+                   / 4294967296.0) END, 4) AS est_distinct
+FROM kept GROUP BY 1"""
+
+
+HIST_WIDTH = 50.0
+HIST_BINS = 10
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import value_histogram
+
+    return value_histogram(_events(spark, sf_dir), HIST_WIDTH, HIST_BINS)
+
+
+def oracle_events_histogram() -> str:
+    return f"""
+SELECT event_type,
+       CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2"""
+
+
 LPA_ROUNDS = 3
 
 
@@ -3693,6 +3743,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
         q_events_streaming_interval_join,
         oracle_events_streaming_interval_join,
     ),
+    "events_approx_distinct": (q_events_approx_distinct, oracle_events_approx_distinct),
+    "events_histogram": (q_events_histogram, oracle_events_histogram),
 }
 
 

@@ -280,3 +280,43 @@ def test_stream_interval_join_cross_batch_match(spark):
     r = out[0]
     assert (r.incident_id, r.event_id, r.user_id) == (1, 2, 7)
     assert r.delta_us == 10 * 60 * 1_000_000
+
+
+def test_approx_distinct_kmv_hand_recompute(spark):
+    """A group with < k members returns its exact count; a group with >= k
+    members returns (k-1)/h_k recomputed here from hashlib.md5 — the sketch
+    is deterministic, not just approximately right."""
+    import hashlib
+
+    from casualty_linking_spark.operators.events import approx_distinct_kmv
+
+    d = dt.datetime
+    rows = [(i, d(2024, 1, 1), uid, "big", 1.0) for i, uid in enumerate(range(100, 120))]
+    rows += [(200 + j, d(2024, 1, 1), 5 + j, "small", 1.0) for j in range(3)]
+    out = {r.event_type: (r.n_kept, r.est_distinct)
+           for r in approx_distinct_kmv(_evt(spark, rows), k=8).collect()}
+    assert out["small"] == (3, 3.0)
+    hashes = sorted(hashlib.md5(str(u).encode()).hexdigest() for u in range(100, 120))
+    hk = int(hashes[7][:8], 16) / 2**32
+    assert out["big"] == (8, round(7.0 / hk, 4))
+
+
+def test_value_histogram_bin_edges_and_clamp(spark):
+    """49.99 stays in bin 0, exactly 50.0 moves to bin 1, and any value at
+    or past width*(n_bins-1) clamps into the overflow bin."""
+    from casualty_linking_spark.operators.events import value_histogram
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1), 1, "a", 49.99),
+        (2, d(2024, 1, 1), 1, "a", 50.0),
+        (3, d(2024, 1, 1), 1, "a", 9999.0),
+        (4, d(2024, 1, 1), 1, "a", 450.0),
+    ]
+    out = {(r.event_type, r.bin): (r.n, r.sum_value)
+           for r in value_histogram(_evt(spark, rows)).collect()}
+    assert out == {
+        ("a", 0): (1, 49.99),
+        ("a", 1): (1, 50.0),
+        ("a", 9): (2, 10449.0),
+    }

@@ -298,3 +298,25 @@ def test_hopping_rollup_single_shuffle(spark):
     plan = _plan(hopping_rollup(e))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_kmv_sketch_bounded_exchanges(spark):
+    """approx_distinct_kmv: map-side partial distinct, k-smallest window on
+    the distinct table, final agg on the window's own partitioning — no
+    joins, at most the two key Exchanges."""
+    from casualty_linking_spark.operators.events import approx_distinct_kmv
+
+    e = spark.createDataFrame([(1, 7, "a")], "event_id long, user_id long, event_type string")
+    plan = _plan(approx_distinct_kmv(e))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_value_histogram_single_shuffle(spark):
+    """value_histogram: one map-side-combined Exchange, never a join."""
+    from casualty_linking_spark.operators.events import value_histogram
+
+    e = spark.createDataFrame([(1, "a", 1.0)], "event_id long, event_type string, value double")
+    plan = _plan(value_histogram(e))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
