@@ -438,3 +438,50 @@ def asof_join(events: DataFrame, left_type: str, right_type: str) -> DataFrame:
             F.expr("timestampdiff(MICROSECOND, matched_ts, ts)").alias("lag_us"),
         )
     )
+
+
+def zscore_outliers(events: DataFrame, threshold: float = 2.5) -> DataFrame:
+    """Per-event-type z-score outlier flagging — the telemetry anomaly-scan
+    idiom (reference analogue: the validators' out-of-range checks,
+    src/csv_to_rdf.py validators, generalized to distributional bounds).
+
+    Mean and variance are derived from EXACT decimal sums (sum v, sum v^2)
+    rather than Spark's stddev_pop — float accumulation order differs
+    between a shuffled agg and any serial oracle fold and would flap the
+    hash; decimal addition is order-free, and the downstream double
+    arithmetic (divide, sqrt) is IEEE-deterministic on identical inputs.
+    The tiny per-type stats frame broadcasts back onto the stream: one
+    map-side-combinable shuffle of the events, no window over full
+    partitions, scale-safe at any row count."""
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum(F.col("value").cast("decimal(28,3)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("value").cast("decimal(18,3)") * F.col("value").cast("decimal(18,3)"))
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_t")
+    var = F.col("s2") / F.col("n_t") - mean * mean
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        events.join(
+            F.broadcast(
+                stats.select(
+                    "event_type",
+                    mean.alias("mean_v"),
+                    F.sqrt(var).alias("std_v"),
+                )
+            ),
+            "event_type",
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= threshold)
+    )

@@ -458,3 +458,25 @@ def conversation_profile(transcripts: DataFrame) -> DataFrame:
         "mean_turn_chars",
         trans.alias("n_role_transitions"),
     )
+
+
+def tool_call_sequences(transcripts: DataFrame) -> DataFrame:
+    """Frequency-ranked tool-call sequences per conversation — the agent-
+    transcript workflow-mining idiom (which tool chains do agents actually
+    run?). One shuffle to the conversation key with a map-side-combinable
+    collect; the per-conversation struct sort is O(k log k) in the number
+    of tool calls, never in turns. Second tiny shuffle on the distinct
+    sequence strings. No Python in the plan."""
+    t = transcripts.filter(F.col("tool").isNotNull())
+    seqs = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+                lambda s: s["tool"],
+            ),
+            ">",
+        ).alias("tool_seq")
+    )
+    return seqs.groupBy("tool_seq").agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )

@@ -3651,6 +3651,159 @@ SELECT subj, pred, obj, CAST(batch_seq AS INT) AS valid_from,
 FROM v WINDOW w AS (PARTITION BY subj, pred ORDER BY batch_seq)"""
 
 
+def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: single scan with the
+    shipdate filter pushed down, one map-side-combinable shuffle to a
+    4-group result. All money sums follow the exact-decimal / final-double
+    discipline; the averages are derived from the exact sums as IEEE double
+    divisions (identical on both engines), never from a float accumulator."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def oracle_olap_pricing_summary() -> str:
+    return """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       count_order
+FROM a"""
+
+
+def q_olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-quantity-order report: the HAVING-on-rollup →
+    join-back idiom. lineitem aggregates once (exact decimal quantity sum);
+    the small qualifying-order set then drives the orders probe and the
+    customer dimension broadcasts — lineitem is scanned exactly once and
+    never re-shuffled."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qdec"))
+        .filter(F.col("qdec") > 250)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qdec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def oracle_olap_top_customers() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qdec
+  FROM lineitem GROUP BY l_orderkey HAVING qdec > 250)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qdec AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import zscore_outliers
+
+    return zscore_outliers(_events(spark, sf_dir), threshold=2.5)
+
+
+def oracle_events_anomaly() -> str:
+    """Same exact-sums derivation as the Spark side: mean/std from order-free
+    decimal sums, then IEEE double z — identical bits, so the >= threshold
+    filter and the rounded projection agree."""
+    return """
+WITH st AS (
+  SELECT event_type, count(*) AS n_t,
+         CAST(sum(CAST(value AS DECIMAL(28,3))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type),
+zc AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round((e.value - s1 / n_t)
+               / sqrt(s2 / n_t - (s1 / n_t) * (s1 / n_t)), 6) AS z
+  FROM events e JOIN st USING (event_type))
+SELECT event_id, event_type, value, z FROM zc WHERE abs(z) >= 2.5"""
+
+
+def q_transcripts_toolseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import tool_call_sequences
+
+    return tool_call_sequences(synth.transcripts_from_sf(spark, sf_dir))
+
+
+def oracle_transcripts_toolseq() -> str:
+    return synth.oracle_prelude() + """
+, seqs AS (
+  SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS tool_seq
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id)
+SELECT tool_seq, count(*) AS n_convs FROM seqs GROUP BY tool_seq"""
+
+
+def q_kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution QA over the casualty triple store: per-subject
+    out-degree, then the histogram of degrees. Both aggregations are
+    map-side combinable; the second operates on one row per subject and the
+    result is O(distinct degrees) — the standard graph-shape sanity check a
+    KG build runs after every materialization."""
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    deg = g.groupBy("subj").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_subjects"))
+
+
+def oracle_kg_degree_histogram() -> str:
+    base = oracle_triples_casualties()
+    return f"""WITH cas AS MATERIALIZED ({base}),
+deg AS (SELECT subj, count(*) AS degree FROM cas GROUP BY subj)
+SELECT degree, count(*) AS n_subjects FROM deg GROUP BY degree"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3745,6 +3898,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     ),
     "events_approx_distinct": (q_events_approx_distinct, oracle_events_approx_distinct),
     "events_histogram": (q_events_histogram, oracle_events_histogram),
+    "olap_pricing_summary": (q_olap_pricing_summary, oracle_olap_pricing_summary),
+    "olap_top_customers": (q_olap_top_customers, oracle_olap_top_customers),
+    "events_anomaly": (q_events_anomaly, oracle_events_anomaly),
+    "transcripts_toolseq": (q_transcripts_toolseq, oracle_transcripts_toolseq),
+    "kg_degree_histogram": (q_kg_degree_histogram, oracle_kg_degree_histogram),
 }
 
 
