@@ -3804,6 +3804,104 @@ deg AS (SELECT subj, count(*) AS degree FROM cas GROUP BY subj)
 SELECT degree, count(*) AS n_subjects FROM deg GROUP BY degree"""
 
 
+def q_kg_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics over the full KG build — the north
+    rule's 'per-partition triple-count/link-score metrics' as a first-class
+    oracle-checked output. Partitions are the same 16 md5-prefix buckets the
+    Iceberg-style store hashes subjects into; for each the report carries
+    total triples, distinct subjects, and the per-graph link counts, so an
+    operator can spot a partition whose link coverage diverges after an
+    incremental batch. Silver is computed once and feeds all four graphs;
+    the union aggregates in one map-side-combinable shuffle."""
+    rec = build_silver(spark, sf_dir)
+    d = dims.broadcast_dims(spark)
+    cas = records_to_triples(rec, dims.dim_cemeteries(spark)).select("subj").withColumn(
+        "graph", F.lit("casualties")
+    )
+    ul, _ = link_units(rec, d["unit_labels"])
+    rl = link_ranks(rec, d["rank_labels"])
+    ol = link_occupations(rec, d["occupations"])
+    allg = (
+        cas.unionByName(ul.select("subj").withColumn("graph", F.lit("unit_links")))
+        .unionByName(rl.select("subj").withColumn("graph", F.lit("rank_links")))
+        .unionByName(ol.select("subj").withColumn("graph", F.lit("occupation_links")))
+    )
+    return allg.groupBy(F.substring(F.md5("subj"), 1, 1).alias("part")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.count_distinct("subj").alias("n_subjects"),
+        F.count(F.when(F.col("graph") == "casualties", 1)).alias("n_casualty_triples"),
+        F.count(F.when(F.col("graph") == "unit_links", 1)).alias("n_unit_links"),
+        F.count(F.when(F.col("graph") == "rank_links", 1)).alias("n_rank_links"),
+        F.count(F.when(F.col("graph") == "occupation_links", 1)).alias(
+            "n_occupation_links"
+        ),
+    )
+
+
+def oracle_kg_partition_metrics() -> str:
+    """Rebuilds every graph from its own contract oracle (each embedded as a
+    self-contained WITH-subquery), so a drift in ANY linker shows up here
+    too."""
+    return f"""
+WITH allg AS (
+  SELECT 'casualties' AS graph, subj FROM ({oracle_triples_casualties()})
+  UNION ALL SELECT 'unit_links', subj FROM ({oracle_link_units()})
+  UNION ALL SELECT 'rank_links', subj FROM ({oracle_link_ranks()})
+  UNION ALL SELECT 'occupation_links', subj FROM ({oracle_link_occupations()})
+)
+SELECT substr(md5(subj), 1, 1) AS part,
+       count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(*) FILTER (graph = 'casualties') AS n_casualty_triples,
+       count(*) FILTER (graph = 'unit_links') AS n_unit_links,
+       count(*) FILTER (graph = 'rank_links') AS n_rank_links,
+       count(*) FILTER (graph = 'occupation_links') AS n_occupation_links
+FROM allg GROUP BY part"""
+
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew diagnostic over the event stream — the pre-shuffle
+    check a pipeline runs before choosing salt factors: top-20 keys by row
+    count with their share of total. One map-side-combinable count per key;
+    the global total comes from summing that same tiny per-key frame (no
+    second scan of the input), and the top-k is a single-partition sort of
+    the per-key counts only."""
+    from pyspark.sql import Window
+
+    per_key = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = per_key.agg(F.sum("n_events").alias("total"))
+    # TakeOrderedAndProject does a distributed partial top-k per partition
+    # before the driver merge — the global rank window then only ever sees
+    # the 20 survivors, never the full key frame.
+    top = per_key.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(20)
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("rn").alias("rank"),
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+def oracle_events_key_skew() -> str:
+    return """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id, n_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM per_key)
+SELECT user_id, n_events, CAST(rank AS INT) AS rank,
+       round(CAST(n_events AS DOUBLE) / (SELECT sum(n_events) FROM per_key), 6) AS share
+FROM ranked WHERE rank <= 20"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3903,6 +4001,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_anomaly": (q_events_anomaly, oracle_events_anomaly),
     "transcripts_toolseq": (q_transcripts_toolseq, oracle_transcripts_toolseq),
     "kg_degree_histogram": (q_kg_degree_histogram, oracle_kg_degree_histogram),
+    "kg_partition_metrics": (q_kg_partition_metrics, oracle_kg_partition_metrics),
+    "events_key_skew": (q_events_key_skew, oracle_events_key_skew),
 }
 
 
