@@ -485,3 +485,43 @@ def zscore_outliers(events: DataFrame, threshold: float = 2.5) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) >= threshold)
     )
+
+
+def stream_hopping_rollup(
+    spark, input_dir: str, checkpoint_dir: str, query_name: str,
+    watermark: str = "2 hours",
+):
+    """Streaming face of :func:`hopping_rollup`: the overlapping-window
+    (1h/30min slide) stateful agg under a watermark — each event updates TWO
+    window states, so this exercises the multi-assignment state path the
+    tumbling rollup never touches. Complete-mode memory sink for the
+    batch-equality oracle check (same caveat as stream_hourly_rollup: a
+    production deployment appends with watermark eviction)."""
+    from ..schema import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.alias("ws"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

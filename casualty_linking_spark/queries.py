@@ -3902,6 +3902,23 @@ SELECT user_id, n_events, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= 20"""
 
 
+def q_events_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping rollup under the batch oracle: the overlapping
+    1h/30min windows mean every event updates TWO stateful window rows per
+    micro-batch — the multi-assignment state path — and availableNow over a
+    multi-file replay must still converge to the batch result exactly."""
+    import tempfile
+    import uuid
+
+    from .operators.events import stream_hopping_rollup
+
+    tmp = tempfile.mkdtemp(prefix="events_hop_stream_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(f"{tmp}/in")
+    qname = f"ev_hop_{uuid.uuid4().hex[:8]}"
+    stream_hopping_rollup(spark, f"{tmp}/in", f"{tmp}/ckpt", qname).awaitTermination()
+    return spark.table(qname)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4003,6 +4020,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_degree_histogram": (q_kg_degree_histogram, oracle_kg_degree_histogram),
     "kg_partition_metrics": (q_kg_partition_metrics, oracle_kg_partition_metrics),
     "events_key_skew": (q_events_key_skew, oracle_events_key_skew),
+    "events_streaming_hopping": (q_events_streaming_hopping, oracle_events_hopping),
 }
 
 
