@@ -3868,8 +3868,14 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-key counts only."""
     from pyspark.sql import Window
 
-    per_key = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+    per_key = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        # both the top-k and the grand total derive from this tiny per-key
+        # frame; localCheckpoint materializes it so the input is scanned
+        # exactly once (lineage would otherwise recompute the agg per branch)
+        .localCheckpoint()
     )
     tot = per_key.agg(F.sum("n_events").alias("total"))
     # TakeOrderedAndProject does a distributed partial top-k per partition
