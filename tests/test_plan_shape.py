@@ -320,3 +320,39 @@ def test_value_histogram_single_shuffle(spark):
     plan = _plan(value_histogram(e))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_key_skew_topk_is_partial_take_ordered(spark):
+    """The heavy-hitter diagnostic must plan a distributed partial top-k
+    (TakeOrderedAndProject) BEFORE its rank window, so the single-partition
+    window only ever sees the 20 survivors — never the full key frame."""
+    from casualty_linking_spark.queries import q_events_key_skew
+
+    plan = _plan(q_events_key_skew(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    w = plan.index("Window")
+    t = plan.index("TakeOrderedAndProject")
+    assert w < t, "rank window must consume the top-k output, not precede it"
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    """The per-type stats frame must broadcast back onto the event stream —
+    a shuffled join here would re-exchange the full input for a <100-row
+    dimension."""
+    from casualty_linking_spark.operators.events import zscore_outliers
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(zscore_outliers(events))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_toolseq_two_shuffles_no_python(spark):
+    """Tool-sequence mining: one exchange to conv_id, one to the sequence
+    string, zero Python in the plan."""
+    from casualty_linking_spark import synth
+    from casualty_linking_spark.operators.text_analysis import tool_call_sequences
+
+    plan = _plan(tool_call_sequences(synth.transcripts_range(spark, 50)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
