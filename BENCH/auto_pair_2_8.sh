@@ -4,8 +4,8 @@
 # interleaved rounds of (local[8], local[2]) legs at 6M, each leg its own JVM,
 # spin canary + uptime bracketed around every leg. min-of-2 per level.
 set -u
-cd "$(dirname "$0")"
-LOG=../BENCH/runs/auto_pair_2to8_6m_16g_$(date -u +%Y%m%d).log
+cd "$(dirname "$0")/.."
+LOG=BENCH/runs/auto_pair_2to8_6m_16g_$(date -u +%Y%m%d).log
 # 16g heap + disk local dir: the exact config of the committed quiet-day
 # 8->32 pair (BENCH/SCALING.md row 1), so the 2->8 row is directly comparable
 export SPARK_GRAFT_SCALE_TRIALS=1
