@@ -474,6 +474,10 @@ def zscore_outliers(events: DataFrame, threshold: float = 2.5) -> DataFrame:
                     mean.alias("mean_v"),
                     F.sqrt(var).alias("std_v"),
                 )
+                # a zero-variance type can have no outliers; dropping it here
+                # (instead of dividing) keeps ANSI mode from raising
+                # DIVIDE_BY_ZERO and the oracle from emitting z = inf rows
+                .filter(F.col("std_v") > 0)
             ),
             "event_type",
         )

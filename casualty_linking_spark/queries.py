@@ -3762,7 +3762,8 @@ WITH st AS (
   SELECT event_type, count(*) AS n_t,
          CAST(sum(CAST(value AS DECIMAL(28,3))) AS DOUBLE) AS s1,
          CAST(sum(CAST(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)) AS DECIMAL(38,6))) AS DOUBLE) AS s2
-  FROM events GROUP BY event_type),
+  FROM events GROUP BY event_type
+  HAVING sqrt(s2 / n_t - (s1 / n_t) * (s1 / n_t)) > 0),
 zc AS (
   SELECT e.event_id, e.event_type, e.value,
          round((e.value - s1 / n_t)

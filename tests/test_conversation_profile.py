@@ -112,3 +112,29 @@ def test_response_latency_tool_turns_and_unanswered(spark):
     assert out[0] == (3, 2, 30)
     assert out[4] == (None, None, None)
     assert set(out) == {0, 4}
+
+
+def test_tool_call_sequences_orders_by_turn_idx(spark):
+    """The chain is ordered by turn_idx regardless of row arrival order;
+    turns without a tool don't appear; conversations with identical chains
+    aggregate."""
+    from casualty_linking_spark.operators.text_analysis import tool_call_sequences
+
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    rows = [
+        # conv A: tools at turns 3, 1 (inserted out of order), plus a no-tool turn
+        ("A", 3, "assistant", "t", "search", ts),
+        ("A", 1, "assistant", "t", "browse", ts),
+        ("A", 2, "user", "t", None, ts),
+        # conv B: same chain as A, already ordered
+        ("B", 1, "assistant", "t", "browse", ts),
+        ("B", 2, "assistant", "t", "search", ts),
+        # conv C: tool-less — contributes no sequence at all
+        ("C", 1, "user", "t", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r.tool_seq: r.n_convs for r in tool_call_sequences(df).collect()}
+    assert out == {"browse>search": 2}

@@ -320,3 +320,26 @@ def test_value_histogram_bin_edges_and_clamp(spark):
         ("a", 1): (1, 50.0),
         ("a", 9): (2, 10449.0),
     }
+
+
+def test_zscore_outliers_hand_recompute(spark):
+    """z recomputed here from the exact decimal moments (population std):
+    only the planted spike crosses |z| >= 2.5, and its rounded z matches the
+    operator bit-for-bit. A second type with zero variance emits nothing
+    (z = x/0 = NULL/inf never passes the abs filter)."""
+    import math
+
+    from casualty_linking_spark.operators.events import zscore_outliers
+
+    d = dt.datetime(2024, 1, 1)
+    vals = [10.0] * 20 + [10.5] * 20 + [9.5] * 19 + [40.0]
+    rows = [(i, d, 1, "a", v) for i, v in enumerate(vals)]
+    rows += [(100 + j, d, 1, "flat", 5.0) for j in range(5)]
+    out = zscore_outliers(_evt(spark, rows), threshold=2.5).collect()
+    assert [r.event_id for r in out] == [59]
+    n = len(vals)
+    s1, s2 = sum(vals), sum(v * v for v in vals)
+    mean = s1 / n
+    std = math.sqrt(s2 / n - mean * mean)
+    assert out[0].z == round((40.0 - mean) / std, 6)
+    assert out[0].event_type == "a"
