@@ -3909,6 +3909,133 @@ SELECT user_id, n_events, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= 20"""
 
 
+def q_olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: the widest join tree in the
+    suite (lineitem + orders + 4 broadcast dimensions). Only the two fact
+    tables ever shuffle (on l_orderkey/o_orderkey); part is filtered before
+    broadcast so the probe side shrinks at the scan, and the
+    customer→nation→region chain collapses to one broadcast hash join.
+    The share is a conditional exact-decimal sum over the total exact sum,
+    divided as IEEE doubles (identical on both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_type") == "PROMO")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == cust_in_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("yr").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("double")
+        .alias("nation_vol"),
+        F.sum("vol").cast("double").alias("total_vol"),
+    )
+    return agg.select(
+        "yr",
+        (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        "total_vol",
+    )
+
+
+def oracle_olap_market_share() -> str:
+    return """
+WITH j AS (
+  SELECT year(o_orderdate) AS yr,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+   AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+a AS (
+  SELECT yr,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_vol,
+         CAST(sum(vol) AS DOUBLE) AS total_vol
+  FROM j GROUP BY yr)
+SELECT yr, nation_vol / total_vol AS mkt_share, total_vol FROM a"""
+
+
+def q_olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share by ship month: one lineitem
+    scan with the shipdate range pushed down, one broadcast join against
+    the part dimension, one map-side-combinable rollup. The percentage is
+    derived from two exact-decimal sums as a final double division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31 23:59:59")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    disc_price = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.month("l_shipdate").alias("mon"), F.col("p_type"), disc_price.alias("dp"))
+        .groupBy("mon")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("dp")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum("dp").cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "mon",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+        "total_rev",
+    )
+
+
+def oracle_olap_promo_revenue() -> str:
+    return """
+WITH a AS (
+  SELECT month(l_shipdate) AS mon,
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+  GROUP BY mon)
+SELECT mon, 100.0 * promo_rev / total_rev AS promo_pct, total_rev FROM a"""
+
+
 def q_events_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hopping rollup under the batch oracle: the overlapping
     1h/30min windows mean every event updates TWO stateful window rows per
@@ -4022,6 +4149,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "events_histogram": (q_events_histogram, oracle_events_histogram),
     "olap_pricing_summary": (q_olap_pricing_summary, oracle_olap_pricing_summary),
     "olap_top_customers": (q_olap_top_customers, oracle_olap_top_customers),
+    "olap_market_share": (q_olap_market_share, oracle_olap_market_share),
+    "olap_promo_revenue": (q_olap_promo_revenue, oracle_olap_promo_revenue),
     "events_anomaly": (q_events_anomaly, oracle_events_anomaly),
     "transcripts_toolseq": (q_transcripts_toolseq, oracle_transcripts_toolseq),
     "kg_degree_histogram": (q_kg_degree_histogram, oracle_kg_degree_histogram),

@@ -356,3 +356,30 @@ def test_toolseq_two_shuffles_no_python(spark):
     plan = _plan(tool_call_sequences(synth.transcripts_range(spark, 50)))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_market_share_fact_never_shuffles_pre_rollup(spark):
+    """Q8-shaped market share: every dimension (filtered part, the
+    customer->nation->region chain, supplier-nation) broadcasts; the only
+    Exchange in the plan is the final per-year rollup, and the part-type /
+    region predicates reach the parquet scans."""
+    from casualty_linking_spark.queries import q_olap_market_share
+
+    plan = _plan(q_olap_market_share(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EqualTo(p_type,PROMO)" in plan, plan
+    assert "EqualTo(r_name,ASIA)" in plan, plan
+
+
+def test_promo_revenue_single_scan_single_shuffle(spark):
+    """Q14-shaped promo share: one lineitem scan with the shipdate range
+    pushed down, one broadcast join against part, one rollup Exchange."""
+    from casualty_linking_spark.queries import q_olap_promo_revenue
+
+    plan = _plan(q_olap_promo_revenue(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
