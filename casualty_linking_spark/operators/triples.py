@@ -315,3 +315,40 @@ def graph_diff(new: DataFrame, old: DataFrame) -> DataFrame:
     added = new.join(old.select(key), key, "left_anti").withColumn("op", F.lit("added"))
     removed = old.join(new.select(key), key, "left_anti").withColumn("op", F.lit("removed"))
     return added.unionByName(removed)
+
+
+def constraint_violations(
+    graph: DataFrame, functional: list[str], required: list[str]
+) -> DataFrame:
+    """SHACL-style validation: max-cardinality-1 on ``functional`` predicates
+    (sh:maxCount 1) and per-subject presence of every ``required`` predicate
+    (sh:minCount 1). Returns (subj, pred, kind, n) with kind in
+    {'cardinality', 'missing'}. The per-(subj, pred) distinct-object rollup
+    computes ONCE (localCheckpoint — it is bounded by the graph's distinct
+    (subj, pred) pairs, far smaller than the triple store) and feeds both
+    shapes; constraint lists are literal broadcast frames, so the store is
+    scanned once and shuffled once regardless of how many shapes run.
+    Whole-graph declarative lift of the reference's per-record validator
+    chain (src/validators.py)."""
+    spark = graph.sparkSession
+    counts = (
+        graph.groupBy("subj", "pred")
+        .agg(F.countDistinct("obj").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    func_df = spark.createDataFrame([(p,) for p in functional], "pred string")
+    req_df = spark.createDataFrame([(p,) for p in required], "pred string")
+    card = (
+        counts.join(F.broadcast(func_df), "pred")
+        .filter(F.col("n") > 1)
+        .select("subj", "pred", F.lit("cardinality").alias("kind"), F.col("n"))
+    )
+    subs = counts.select("subj").distinct()
+    miss = (
+        subs.crossJoin(F.broadcast(req_df))
+        .join(counts.select("subj", "pred"), ["subj", "pred"], "left_anti")
+        .select(
+            "subj", "pred", F.lit("missing").alias("kind"), F.lit(0).cast("long").alias("n")
+        )
+    )
+    return card.unionByName(miss)

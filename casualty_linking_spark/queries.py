@@ -3909,6 +3909,58 @@ SELECT user_id, n_events, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= 20"""
 
 
+_SHACL_FUNCTIONAL = [
+    "http://ldf.fi/schema/warsa/date_of_death",
+    "http://www.w3.org/2004/02/skos/core#prefLabel",
+    "http://ldf.fi/schema/warsa/gender",
+]
+_SHACL_REQUIRED = [
+    "http://ldf.fi/schema/warsa/date_of_birth",
+    "http://ldf.fi/schema/warsa/date_of_death",
+    "http://ldf.fi/schema/warsa/buried_in",
+    "http://ldf.fi/schema/warsa/casualties/unit_code",
+]
+
+
+def q_kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style graph validation over the casualty store — the QA gate a
+    KG build runs before publishing: max-cardinality-1 on functional
+    predicates (sh:maxCount) and required-predicate presence (sh:minCount),
+    reported per (subject, predicate). The per-(subj,pred) distinct-object
+    rollup computes ONCE (localCheckpoint) and feeds both shapes; the
+    constraint lists are literal broadcast frames, so the triple store is
+    scanned exactly once and shuffled once however many shapes run.
+    Violation discovery mirrors the reference's per-record validator intent
+    (src/validators.py) lifted to whole-graph declarative form."""
+    from .operators.triples import constraint_violations
+
+    rec = build_silver(spark, sf_dir)
+    g = records_to_triples(rec, dims.dim_cemeteries(spark))
+    return constraint_violations(g, _SHACL_FUNCTIONAL, _SHACL_REQUIRED)
+
+
+def oracle_kg_constraint_violations() -> str:
+    base = oracle_triples_casualties()
+    func = ",".join(f"('{p}')" for p in _SHACL_FUNCTIONAL)
+    req = ",".join(f"('{p}')" for p in _SHACL_REQUIRED)
+    return f"""WITH cas AS MATERIALIZED ({base}),
+counts AS (SELECT subj, pred, count(DISTINCT obj) AS n FROM cas GROUP BY subj, pred),
+functional(pred) AS (VALUES {func}),
+required(pred) AS (VALUES {req}),
+card AS (
+  SELECT c.subj, c.pred, 'cardinality' AS kind, CAST(c.n AS BIGINT) AS n
+  FROM counts c JOIN functional f ON c.pred = f.pred WHERE c.n > 1),
+subs AS (SELECT DISTINCT subj FROM counts),
+miss AS (
+  SELECT s.subj, r.pred, 'missing' AS kind, CAST(0 AS BIGINT) AS n
+  FROM subs s CROSS JOIN required r
+  LEFT JOIN counts c ON c.subj = s.subj AND c.pred = r.pred
+  WHERE c.subj IS NULL)
+SELECT subj, pred, kind, n FROM card
+UNION ALL
+SELECT subj, pred, kind, n FROM miss"""
+
+
 def q_olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped national market share: the widest join tree in the
     suite (lineitem + orders + 4 broadcast dimensions). Only the two fact
@@ -4150,6 +4202,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "olap_pricing_summary": (q_olap_pricing_summary, oracle_olap_pricing_summary),
     "olap_top_customers": (q_olap_top_customers, oracle_olap_top_customers),
     "olap_market_share": (q_olap_market_share, oracle_olap_market_share),
+    "kg_constraint_violations": (q_kg_constraint_violations, oracle_kg_constraint_violations),
     "olap_promo_revenue": (q_olap_promo_revenue, oracle_olap_promo_revenue),
     "events_anomaly": (q_events_anomaly, oracle_events_anomaly),
     "transcripts_toolseq": (q_transcripts_toolseq, oracle_transcripts_toolseq),

@@ -185,3 +185,24 @@ def test_greedy_match_equals_sequential_greedy(spark):
         assert full == expected, (case, full ^ expected)
         truncated = {(r.record_uri, r.actor_uri) for r in _greedy_match(sdf, rounds=1).collect()}
         assert truncated <= expected
+
+
+def test_constraint_violations_hand_graph(spark):
+    """Planted violations: s1 has two distinct death dates (cardinality),
+    s2 lacks the required death date (missing), duplicate identical triples
+    do NOT count as a cardinality violation (distinct-object semantics),
+    and a clean subject reports nothing."""
+    from casualty_linking_spark.operators.triples import constraint_violations
+
+    DD, BI = "w:date_of_death", "w:buried_in"
+    g = _g(spark, [
+        ("s1", DD, "1941-01-01"), ("s1", DD, "1941-02-02"), ("s1", BI, "c1"),
+        ("s2", BI, "c2"),
+        ("s3", DD, "1942-03-03"), ("s3", DD, "1942-03-03"), ("s3", BI, "c3"),
+    ])
+    out = constraint_violations(g, functional=[DD], required=[DD, BI])
+    rows = {(r.subj, r.pred, r.kind): r.n for r in out.collect()}
+    assert rows == {
+        ("s1", DD, "cardinality"): 2,
+        ("s2", DD, "missing"): 0,
+    }
