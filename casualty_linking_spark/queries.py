@@ -2178,6 +2178,40 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_text_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report — the first table a training-data run
+    prints: per detected language, document count, total BPE-ish tokens,
+    and mean quality score. One scan (the profile computes inline), one
+    map-side-combinable shuffle to O(languages) rows. The quality mean is
+    derived from an order-free sum: quality is a sum of 0.25 increments,
+    exact in binary floating point, so the cross-engine hash holds."""
+    from .operators.text_analysis import document_profile
+
+    p = document_profile(_docs(spark, sf_dir))
+    return (
+        p.groupBy("lang_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+            F.sum("quality").alias("qsum"),
+        )
+        .select(
+            "lang_id",
+            "n_docs",
+            "total_tokens_bpe",
+            (F.col("qsum") / F.col("n_docs")).alias("mean_quality"),
+        )
+    )
+
+
+def oracle_text_langmix() -> str:
+    return f"""WITH p AS MATERIALIZED ({oracle_text_profile()})
+SELECT lang_id, count(*) AS n_docs,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe,
+       sum(quality) / count(*) AS mean_quality
+FROM p GROUP BY lang_id"""
+
+
 EMB_DIM = 64
 N_ANN_QUERIES = 5
 ANN_K = 5
@@ -4146,6 +4180,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "dedup_streaming_exact": (q_dedup_streaming_exact, oracle_dedup_streaming_exact),
     "kg_streaming_sessions": (q_kg_streaming_sessions, oracle_kg_streaming_sessions),
     "text_profile": (q_text_profile, oracle_text_profile),
+    "text_langmix": (q_text_langmix, oracle_text_langmix),
     "text_redact": (q_text_redact, oracle_text_redact),
     "text_decontaminate": (q_text_decontaminate, oracle_text_decontaminate),
     "text_repetition": (q_text_repetition, oracle_text_repetition),
