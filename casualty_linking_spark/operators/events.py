@@ -529,3 +529,74 @@ def stream_hopping_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_downsample(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
+    """OHLC downsample — the hypertable/candlestick compaction (TimescaleDB's
+    ``ohlc``/continuous-aggregate shape): per (bucket, event_type) the FIRST
+    and LAST value by event time plus min/max, in ONE map-side-combinable
+    aggregation. open/close use ``min_by``/``max_by`` so there is no window
+    pass and no second shuffle — the partial aggregates carry one candidate
+    row each and combine associatively, which is what lets the same plan
+    downsample a 100 TB hypertable into O(buckets × types) rows with a
+    single Exchange.
+
+    Determinism: event time alone is not a total order (duplicate ``ts``
+    within a group would make min_by/max_by engine-dependent), so the
+    ordering key is the zero-padded ``(epoch_micros, event_id)`` string —
+    lexicographic order == numeric order for non-negative zero-padded
+    values, and both engines (Spark min_by/max_by, DuckDB arg_min/arg_max)
+    accept a VARCHAR ordering key. ``ts`` arrives as TIMESTAMP_NTZ; the
+    cast to TIMESTAMP is exact under the engine's pinned UTC session zone
+    (session.py) — and the key is only ever ORDERED on, so any constant
+    offset would cancel anyway. value arrives as IEEE double and is only
+    selected (open/close) or compared (high/low), never accumulated, so no
+    decimal detour is needed."""
+    ord_key = F.format_string(
+        "%019d%019d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    return events.groupBy(
+        F.window("ts", bucket).start.alias("ws"), "event_type"
+    ).agg(
+        F.min_by("value", ord_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def time_weighted_average(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
+    """Per (bucket, event_type) time-weighted average — TimescaleDB's
+    ``time_weight('LOCF')`` over each bucket: every observation holds until
+    the next one IN THE SAME BUCKET, so
+    ``twa = Σ value_i · (t_{i+1} − t_i) / Σ (t_{i+1} − t_i)`` with the
+    bucket's last observation contributing no segment (single-observation
+    buckets surface ``twa = NULL`` — no elapsed time to weight over, made
+    explicit with a CASE because bare x/0 diverges across engines:
+    Spark NULL, DuckDB ±inf).
+
+    ONE shuffle: the ``lead`` window partitions by (ws, event_type) and the
+    groupBy reuses that partitioning, so Spark plans a single Exchange
+    (asserted in tests/test_plan_shape.py). Determinism: segment weights are
+    exact integer microseconds; ``value`` goes through DECIMAL(18,3) so each
+    product is exact and the sum order-free (the hourly_rollup discipline);
+    the final division is one IEEE double op on two exactly-converted
+    operands, rounded to 6 dp (the tfidf/zscore contract)."""
+    w = Window.partitionBy("ws", "event_type").orderBy("ts", "event_id")
+    seg = (
+        events.withColumn("ws", F.window("ts", bucket).start)
+        .withColumn("t_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("dt_us", F.lead("t_us").over(w) - F.col("t_us"))
+    )
+    v = F.col("value").cast("decimal(18,3)")
+    total_dt = F.sum("dt_us")
+    weighted = F.sum(v * F.col("dt_us").cast("decimal(20,0)"))
+    return seg.groupBy("ws", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        total_dt.alias("dur_us"),
+        F.when(
+            total_dt > 0,
+            F.round(weighted.cast("double") / total_dt.cast("double"), 6),
+        ).alias("twa"),
+    )

@@ -4139,6 +4139,54 @@ def q_events_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import ohlc_downsample
+
+    return ohlc_downsample(_events(spark, sf_dir))
+
+
+def oracle_events_ohlc() -> str:
+    """arg_min/arg_max over the zero-padded (epoch_micros, event_id) VARCHAR
+    key — lexicographic == numeric for non-negative zero-padded values, the
+    same total order Spark's min_by/max_by uses (operators/events.py)."""
+    return """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+       arg_min(value, printf('%019d%019d', epoch_us(ts), event_id)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, printf('%019d%019d', epoch_us(ts), event_id)) AS close,
+       count(*) AS n
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import time_weighted_average
+
+    return time_weighted_average(_events(spark, sf_dir))
+
+
+def oracle_events_twa() -> str:
+    """LOCF segment weights in exact integer microseconds; value products
+    through DECIMAL (order-free); dur_us cast BIGINT (the HUGEINT lesson);
+    the single-observation bucket surfaces twa = NULL via explicit CASE
+    (bare x/0 is NULL in Spark but ±inf in DuckDB)."""
+    return """
+WITH seg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         CAST(value AS DECIMAL(18,3)) AS v,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+           ORDER BY ts ASC, event_id ASC) - epoch_us(ts) AS dt_us
+  FROM events)
+SELECT ws, event_type, count(*) AS n,
+       CAST(sum(dt_us) AS BIGINT) AS dur_us,
+       CASE WHEN sum(dt_us) > 0
+            THEN round(CAST(sum(v * dt_us) AS DOUBLE)
+                       / CAST(sum(dt_us) AS DOUBLE), 6)
+       END AS twa
+FROM seg GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4245,6 +4293,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], 
     "kg_partition_metrics": (q_kg_partition_metrics, oracle_kg_partition_metrics),
     "events_key_skew": (q_events_key_skew, oracle_events_key_skew),
     "events_streaming_hopping": (q_events_streaming_hopping, oracle_events_hopping),
+    "events_ohlc": (q_events_ohlc, oracle_events_ohlc),
+    "events_twa": (q_events_twa, oracle_events_twa),
 }
 
 

@@ -343,3 +343,50 @@ def test_zscore_outliers_hand_recompute(spark):
     std = math.sqrt(s2 / n - mean * mean)
     assert out[0].z == round((40.0 - mean) / std, 6)
     assert out[0].event_type == "a"
+
+
+def test_ohlc_downsample_hand_data(spark):
+    """OHLC: open/close follow the (ts, event_id) total order — a ts tie is
+    broken by event_id (the padded-key contract), high/low are plain
+    extrema, and each bucket aggregates independently."""
+    from casualty_linking_spark.operators.events import ohlc_downsample
+
+    d = dt.datetime
+    rows = [
+        (2, d(2024, 1, 1, 9, 0, 0), 7, 5.0),  # ts-tied with id 1: loses open
+        (1, d(2024, 1, 1, 9, 0, 0), 7, 7.0),
+        (3, d(2024, 1, 1, 9, 30, 0), 7, 1.0),  # latest -> close
+        (4, d(2024, 1, 1, 10, 5, 0), 7, 9.0),  # alone in the 10:00 bucket
+    ]
+    out = {
+        str(r.ws): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_downsample(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        "2024-01-01 09:00:00": (7.0, 7.0, 1.0, 1.0, 3),
+        "2024-01-01 10:00:00": (9.0, 9.0, 9.0, 9.0, 1),
+    }
+
+
+def test_time_weighted_average_hand_recompute(spark):
+    """TWA: LOCF segments in exact microseconds — 2.0 held 10 s then 4.0
+    held 30 s is (2*10 + 4*30)/40 = 3.5; the bucket's last observation
+    carries no segment; a single-observation bucket has no elapsed time so
+    twa and dur_us are NULL (never a divide-by-zero)."""
+    from casualty_linking_spark.operators.events import time_weighted_average
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9, 0, 0), 7, 2.0),
+        (2, d(2024, 1, 1, 9, 0, 10), 7, 4.0),
+        (3, d(2024, 1, 1, 9, 0, 40), 7, 1.0),  # last in bucket: no segment
+        (4, d(2024, 1, 1, 10, 5, 0), 7, 9.0),  # single-observation bucket
+    ]
+    out = {
+        str(r.ws): (r.n, r.dur_us, r.twa)
+        for r in time_weighted_average(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        "2024-01-01 09:00:00": (3, 40_000_000, 3.5),
+        "2024-01-01 10:00:00": (1, None, None),
+    }

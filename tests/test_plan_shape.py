@@ -383,3 +383,22 @@ def test_promo_revenue_single_scan_single_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
+
+
+def test_ohlc_and_twa_single_exchange(spark):
+    """ohlc_downsample: min_by/max_by partial-aggregate map-side, so the
+    whole candlestick compaction is ONE Exchange and no Join.
+    time_weighted_average: the lead window partitions by (ws, event_type)
+    and the groupBy reuses that partitioning — one Exchange total."""
+    from casualty_linking_spark.operators.events import (
+        ohlc_downsample,
+        time_weighted_average,
+    )
+
+    e = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    ).withColumn("ts", F.current_timestamp())
+    for op in (ohlc_downsample, time_weighted_average):
+        plan = _plan(op(e))
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
