@@ -182,8 +182,28 @@ GRAVEYARD_MAPPING = [
 
 # --------------------------------------------------------------------------
 # Spark DataFrame builders (tiny → always broadcast on the join side).
+# Memoized per session: the rows are module constants, and rebuilding the
+# local relation per call costs a py4j round trip + re-analysis in every
+# embedding query — pure driver overhead at any scale. DataFrames are
+# immutable, so sharing one plan object is safe.
 # --------------------------------------------------------------------------
 
+_DIM_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def _memo_dim(fn):
+    def wrapper(spark: SparkSession) -> DataFrame:
+        key = (fn.__name__, id(spark))
+        if key not in _DIM_MEMO:
+            _DIM_MEMO[key] = fn(spark)
+        return _DIM_MEMO[key]
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+@_memo_dim
 def dim_ranks(spark: SparkSession) -> DataFrame:
     """rank_uri, label_fi, label_en, level, alt_labels."""
     rows = [
@@ -195,6 +215,7 @@ def dim_ranks(spark: SparkSession) -> DataFrame:
     )
 
 
+@_memo_dim
 def dim_rank_labels(spark: SparkSession) -> DataFrame:
     """Exploded (rank_uri, label, lang, is_pref) — the join target of rank
     linking (prefLabel|altLabel, like the SPARQL alternation in the
@@ -208,6 +229,7 @@ def dim_rank_labels(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "rank_uri string, label string, lang string, is_pref boolean")
 
 
+@_memo_dim
 def dim_units(spark: SparkSession) -> DataFrame:
     rows = [
         (NS.UNITS_NS + slug, pref, alts, cover, NS.CONFLICTS_NS + conflict)
@@ -219,6 +241,7 @@ def dim_units(spark: SparkSession) -> DataFrame:
     )
 
 
+@_memo_dim
 def dim_unit_labels(spark: SparkSession) -> DataFrame:
     """Exploded (unit_uri, label, cover_number, conflict)."""
     rows = []
@@ -231,6 +254,7 @@ def dim_unit_labels(spark: SparkSession) -> DataFrame:
     )
 
 
+@_memo_dim
 def dim_municipalities(spark: SparkSession) -> DataFrame:
     """mun_uri, label, current_municipality (PNR), wartime_municipality
     (WarSampo), preferred_municipality = coalesce(wartime, current, self)
@@ -248,6 +272,7 @@ def dim_municipalities(spark: SparkSession) -> DataFrame:
     )
 
 
+@_memo_dim
 def dim_pnr_labels(spark: SparkSession) -> DataFrame:
     """Finnish Place Name Registry label dictionary (the PNR ARPA service of
     the reference, arpa_services/pnr_municipality — exact lowercase label
@@ -260,6 +285,7 @@ def dim_pnr_labels(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "pnr_uri string, label string")
 
 
+@_memo_dim
 def dim_warsa_labels(spark: SparkSession) -> DataFrame:
     """WarSampo wartime municipality label dictionary
     (http://ldf.fi/warsa/places/municipalities graph, src/linker.py:90-91)."""
@@ -271,17 +297,20 @@ def dim_warsa_labels(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "warsa_uri string, label string")
 
 
+@_memo_dim
 def dim_occupations(spark: SparkSession) -> DataFrame:
     rows = [(NS.OCCUPATIONS_NS + slug, label) for slug, label in OCCUPATIONS]
     return spark.createDataFrame(rows, "occ_uri string, label string")
 
 
+@_memo_dim
 def dim_cemeteries(spark: SparkSession) -> DataFrame:
     rows = [(NS.CEMETERIES + f"h{code}_{n}",) if code != "x" else (NS.CEMETERIES + "hx_0",)
             for code, n in CEMETERIES]
     return spark.createDataFrame(rows, "cem_uri string").distinct()
 
 
+@_memo_dim
 def dim_codes(spark: SparkSession) -> DataFrame:
     """code_kind, key (nullable), uri — all enum tables stacked."""
     rows = []
@@ -291,18 +320,31 @@ def dim_codes(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "code_kind string, key string, uri string")
 
 
+_DIMS_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def broadcast_dims(spark: SparkSession) -> dict[str, DataFrame]:
-    """All dimensions, wrapped in F.broadcast for joins."""
-    return {
-        "ranks": F.broadcast(dim_ranks(spark)),
-        "rank_labels": F.broadcast(dim_rank_labels(spark)),
-        "units": F.broadcast(dim_units(spark)),
-        "unit_labels": F.broadcast(dim_unit_labels(spark)),
-        "municipalities": F.broadcast(dim_municipalities(spark)),
-        "occupations": F.broadcast(dim_occupations(spark)),
-        "cemeteries": F.broadcast(dim_cemeteries(spark)),
-        "codes": F.broadcast(dim_codes(spark)),
-    }
+    """All dimensions, wrapped in F.broadcast for joins.
+
+    Memoized per session: the dimension rows are module constants, and each
+    ``createDataFrame`` costs a py4j local-relation round trip plus fresh
+    analysis in every query that embeds it. One shared plan per session also
+    lets AQE/ReuseExchange share the built broadcast across queries instead
+    of re-broadcasting an identical relation per call (driver-side cost that
+    is pure overhead at any scale)."""
+    key = id(spark)
+    if key not in _DIMS_CACHE:
+        _DIMS_CACHE[key] = {
+            "ranks": F.broadcast(dim_ranks(spark)),
+            "rank_labels": F.broadcast(dim_rank_labels(spark)),
+            "units": F.broadcast(dim_units(spark)),
+            "unit_labels": F.broadcast(dim_unit_labels(spark)),
+            "municipalities": F.broadcast(dim_municipalities(spark)),
+            "occupations": F.broadcast(dim_occupations(spark)),
+            "cemeteries": F.broadcast(dim_cemeteries(spark)),
+            "codes": F.broadcast(dim_codes(spark)),
+        }
+    return _DIMS_CACHE[key]
 
 
 # --------------------------------------------------------------------------

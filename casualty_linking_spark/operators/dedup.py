@@ -93,18 +93,67 @@ def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+def _let_bound(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` once and feed it
+    to ``body`` as a lambda variable. ``transform`` over a one-element array
+    introduces a lambda variable Catalyst cannot inline, so the (arbitrarily
+    expensive) ``value`` subtree appears exactly once in the plan no matter
+    how many times ``body`` references it — the optimizer's CollapseProject
+    would otherwise clone it per reference (measured 12x shingle-set blowup
+    in the minhash signature)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def lsh_bands(documents: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
     """(doc_id, band_idx, band_key) — band_key = md5 of the band's minhashes.
 
-    Shape: explode shingles to rows, hash each shingle once per seed, fold
-    with a single groupBy(doc_id) min-aggregation (map-side combine) — one
-    pass over the data. The array-lambda formulation (minhash_signature)
-    re-evaluates the shingle set per seed because Catalyst inlines the
-    shared subtree into every lambda (measured 12x blowup at sf0.1)."""
-    sh_rows = documents.select(
-        F.col("doc_id"), F.explode(shingles_col(F.col("text"))).alias("shingle")
+    Shape: one narrow per-row projection. The shingle array is let-bound
+    (``_let_bound``) so it is computed once per document, then the n
+    minhashes are array_min folds over it — no shingle explode, no
+    groupBy(doc_id) Exchange, no SortAggregate with n string min-buffers
+    (string aggregation buffers force sort-based aggregation). The r5 shape
+    (explode + min-agg) shuffled one row per (doc, shingle) — bytes
+    proportional to the corpus — and its 12-string-buffer SortAggregate
+    codegen unit was a JIT-warmup hazard (287 s vs 7 s executor CPU for the
+    same stage depending on codegen-cache hits). This shape shuffles nothing
+    and evaluates the same md5 recurrence via interpreted higher-order
+    functions with stable cost. Hash values are bit-identical (same
+    md5(seed ':' shingle) recurrence; parity-checked old-vs-new at sf0.1)."""
+    n_bands = n_hashes // band_size
+    sig = _let_bound(
+        shingles_col(F.col("text")),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            ),
+        ),
     )
-    return _shingle_rows_to_bands(sh_rows, n_hashes, band_size)
+    sigd = documents.select(F.col("doc_id"), sig.alias("sig"))
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit(f"{b}|"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * band_size + j + 1)
+                                    for j in range(band_size)
+                                ],
+                            ),
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    return sigd.select("doc_id", bands.alias("b")).select("doc_id", "b.band_idx", "b.band_key")
 
 
 def _shingle_rows_to_bands(sh_rows: DataFrame, n_hashes: int, band_size: int) -> DataFrame:

@@ -31,14 +31,26 @@ def field_pattern(field: str) -> str:
     return rf"\b{field}=([^;]*)"
 
 
+# Column expression trees are immutable and bound by NAME (unresolved until
+# attached to a DataFrame), so the per-field extraction/aggregation lists can
+# be built once and shared by every query in the process — rebuilding them
+# costs one py4j round trip per nested call (hundreds per invocation), pure
+# driver overhead inside the timed pipeline. Built lazily because Column
+# construction needs a live JVM.
+_MENTION_COLS: list | None = None
+_AGG_COLS: list | None = None
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """(conv_id, turn_idx) + one nullable string column per register field."""
-    cols = [
-        F.nullif(F.trim(F.regexp_extract("text", field_pattern(f), 1)), F.lit(""))
-        .alias(f.lower())
-        for f in FIELDS
-    ]
-    return transcripts.select("conv_id", "turn_idx", *cols)
+    global _MENTION_COLS
+    if _MENTION_COLS is None:
+        _MENTION_COLS = [
+            F.nullif(F.trim(F.regexp_extract("text", field_pattern(f), 1)), F.lit(""))
+            .alias(f.lower())
+            for f in FIELDS
+        ]
+    return transcripts.select("conv_id", "turn_idx", *_MENTION_COLS)
 
 
 def mentions_to_raw_records(mentions: DataFrame) -> DataFrame:
@@ -49,7 +61,10 @@ def mentions_to_raw_records(mentions: DataFrame) -> DataFrame:
     and the record URI minted as DATA_CAS 'p{id}' (reference
     src/csv_to_rdf.py:187-188). One shuffle, keyed by conv_id.
     """
-    aggs = [F.max(f.lower()).alias(f.lower()) for f in FIELDS]
+    global _AGG_COLS
+    if _AGG_COLS is None:
+        _AGG_COLS = [F.max(f.lower()).alias(f.lower()) for f in FIELDS]
+    aggs = _AGG_COLS
     recs = mentions.groupBy("conv_id").agg(*aggs)
     # take everything after the 'conv_' prefix (no fixed width — a bounded
     # substring would silently truncate and collide large pids)

@@ -95,16 +95,15 @@ DATE_TARGETS = {
 }
 
 
-def build_records(raw: DataFrame) -> DataFrame:
-    """Raw records (extract.mentions_to_raw_records output) -> silver record."""
-    cols: list[Column] = [F.col("conv_id"), F.col("person_id"), F.col("record_uri")]
+# The silver converter projection is a pure function of column NAMES, so its
+# Column trees are built once and shared (same reasoning as
+# extract._MENTION_COLS: hundreds of py4j round trips per rebuild, measured
+# ~0.8 s of driver time inside the timed flagship at sf0.1).
+_SILVER_COLS: list[Column] | None = None
 
-    # scan-time cleaning
-    for c in X_STRIPPED:
-        raw = raw.withColumn(c, _x_strip(F.col(c)))
-    for c in UPPERCASED:
-        raw = raw.withColumn(c, F.upper(F.trim(F.col(c))))
-    raw = raw.withColumn("ammatti", F.lower(F.trim(F.col("ammatti"))))
+
+def _silver_cols() -> list[Column]:
+    cols: list[Column] = [F.col("conv_id"), F.col("person_id"), F.col("record_uri")]
 
     cols += [
         F.col("snimi").alias("family_name_raw"),
@@ -144,11 +143,29 @@ def build_records(raw: DataFrame) -> DataFrame:
         d, s = D.convert_dates(F.col(src_col))
         cols += [d.alias(tgt), s.alias(tgt + "_str"), F.col(src_col).alias(tgt + "_raw")]
 
-    rec = raw.select(*cols)
-    # prefLabel 'Family, Given' (src/process.py:108-109)
-    return rec.withColumn(
-        "pref_label", F.concat_ws(", ", F.col("family_name"), F.col("given_names"))
+    # prefLabel 'Family, Given' (src/process.py:108-109) — references the
+    # unified output columns, so the name-unifier UDFs are evaluated once.
+    cols.append(
+        F.concat_ws(", ", F.col("family_name"), F.col("given_names")).alias("pref_label")
     )
+    return cols
+
+
+def build_records(raw: DataFrame) -> DataFrame:
+    """Raw records (extract.mentions_to_raw_records output) -> silver record."""
+    global _SILVER_COLS
+    if _SILVER_COLS is None:
+        _SILVER_COLS = _silver_cols()
+
+    # scan-time cleaning
+    for c in X_STRIPPED:
+        raw = raw.withColumn(c, _x_strip(F.col(c)))
+    for c in UPPERCASED:
+        raw = raw.withColumn(c, F.upper(F.trim(F.col(c))))
+    raw = raw.withColumn("ammatti", F.lower(F.trim(F.col("ammatti"))))
+
+    rec = raw.select(*_SILVER_COLS[:-1])
+    return rec.withColumn("pref_label", _SILVER_COLS[-1])
 
 
 def record_errors(records: DataFrame) -> DataFrame:

@@ -93,7 +93,29 @@ def get_spark(
         # single-node sandbox the one virtual disk would serialize it.
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-class cache defaults to 100 entries (static conf).
+        # This engine's contract surface compiles far more distinct codegen
+        # units than that in one session, so the LRU evicts hot classes and
+        # every re-run pays Janino compilation + a cold-JIT pass again —
+        # measured 287 s executor CPU vs 7 s for the SAME minhash stage in
+        # one session, purely from eviction. The cache holds class refs
+        # (weak keys), so a larger bound costs a few MB of metaspace and is
+        # scale-independent: on a cluster each executor JVM wants its
+        # generated classes to survive the whole job too.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
+    # AQE coalescing's "minimum partition worth scheduling" is byte-oriented
+    # (default 1MB). Optional override for CPU-dense/narrow-row workloads
+    # where a 1MB partition carries tens of seconds of work (unset = Spark
+    # default; A/B-measured before adoption, see OPTIMIZATION_r06.md).
+    minpart = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION")
+    if minpart:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", minpart
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
