@@ -307,7 +307,11 @@ def dim_occupations(spark: SparkSession) -> DataFrame:
 def dim_cemeteries(spark: SparkSession) -> DataFrame:
     rows = [(NS.CEMETERIES + f"h{code}_{n}",) if code != "x" else (NS.CEMETERIES + "hx_0",)
             for code, n in CEMETERIES]
-    return spark.createDataFrame(rows, "cem_uri string").distinct()
+    # dedup in Python, not .distinct(): the rows are literal constants, and a
+    # DataFrame distinct puts an Exchange + an AQE query stage into every
+    # query that embeds this dimension (~10 contract queries + the flagship).
+    uniq = list(dict.fromkeys(rows))
+    return spark.createDataFrame(uniq, "cem_uri string")
 
 
 @_memo_dim

@@ -26,6 +26,14 @@ from ..functions.similarity import jaro_winkler
 
 SCORE_THRESHOLD = 0.88
 
+# The scorer feeds a filter on its own output; Catalyst pushes that filter
+# below the projection and ends up evaluating the UDF TWICE (two
+# ArrowEvalPython nodes — once under the pushed filter, once in the
+# projection). Marking the call non-deterministic forbids the duplication,
+# halving the Python-boundary crossings of the scoring stage. Values are
+# unchanged (the function is pure); only the optimizer's cloning is blocked.
+_jaro_winkler_once = jaro_winkler.asNondeterministic()
+
 
 def link_occupations(
     records: DataFrame,
@@ -42,7 +50,14 @@ def link_occupations(
     # runs on |vocab| x |ontology| pairs and the per-record resolution is a
     # broadcast hash join. At 10^12 rows this is the difference between an
     # O(rows x labels) UDF scan and an O(vocab x labels) one.
-    lits = recs.select("occupation_literal").distinct()
+    # coalesce(1): the distinct's reduce output is vocabulary-sized (the
+    # whole point of scoring distinct literals), but the exchange keeps the
+    # session's shuffle-partition count, so the scoring stage ran as 32
+    # near-empty tasks EACH paying a Python-worker dispatch for the pandas
+    # UDF (measured ~0.9 s/task of non-CPU wait). One task holds the whole
+    # vocabulary at any corpus scale — vocabulary size is bounded by the
+    # ontology, not the data.
+    lits = recs.select("occupation_literal").distinct().coalesce(1)
     if block_first_char:
         cond = F.substring(lits.occupation_literal, 1, 1) == F.substring(occupations.label, 1, 1)
         cands = lits.join(F.broadcast(occupations), cond)
@@ -50,7 +65,7 @@ def link_occupations(
         cands = lits.crossJoin(F.broadcast(occupations))
 
     scored = cands.withColumn(
-        "score", jaro_winkler(F.col("occupation_literal"), F.col("label"))
+        "score", _jaro_winkler_once(F.col("occupation_literal"), F.col("label"))
     ).filter(F.col("score") >= threshold)
 
     w = Window.partitionBy("occupation_literal").orderBy(F.col("score").desc(), F.col("occ_uri").asc())

@@ -84,24 +84,50 @@ def _link_row(subj: F.Column, unit: F.Column) -> list[F.Column]:
     ]
 
 
+# Memoized Column pieces (pure functions of column names + module constants;
+# rebuilding the 13-regexp preprocessor and n-gram lambda trees cost ~1.7 s
+# of py4j driver time per link_units call). Lazy: needs a live JVM. The
+# label-dictionary frame is memoized per input DataFrame id for the same
+# reason (and so its broadcast build is shared across queries).
+_RECS_COLS: list | None = None
+_NGRAM_COL: F.Column | None = None
+_PREP_COL: F.Column | None = None
+_DIM_B_MEMO: dict[int, DataFrame] = {}
+
+
+def _prep_col() -> F.Column:
+    global _PREP_COL
+    if _PREP_COL is None:
+        _PREP_COL = preprocess_unit(F.col("unit_literal"))
+    return _PREP_COL
+
+
 def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, DataFrame]:
     """-> (unit link triples, related-period triples).
 
     ``unit_labels``: exploded (unit_uri, label, cover_number, conflict).
     """
-    recs = records.select(
-        "record_uri", "unit_code", "unit_literal",
-        date_cmp_str(F.col("date_of_death"), F.col("date_of_death_str")).alias("death_cmp"),
-    )
+    global _RECS_COLS
+    if _RECS_COLS is None:
+        _RECS_COLS = [
+            F.col("record_uri"), F.col("unit_code"), F.col("unit_literal"),
+            date_cmp_str(F.col("date_of_death"), F.col("date_of_death_str")).alias("death_cmp"),
+        ]
+    recs = records.select(*_RECS_COLS)
 
     # ---- Path A: cover-number join + fuzzy argmax ----
     # Scoring runs on DISTINCT (unit_code, unit_literal) pairs — the literal
     # vocabulary is tiny vs the corpus, so the fuzzy pass is O(vocab x labels)
     # and records resolve via a broadcast join (same dataflow shape as the
     # reference's one batched VALUES lookup, src/linker.py:145-147).
+    # coalesce(1) after the distinct: the (code, literal) vocabulary is
+    # bounded by the unit ontology × dirt classes, not the corpus, so the
+    # scoring join + per-pair argmax run as one task instead of a fan of
+    # near-empty shuffle-partition tasks (same reasoning as the occupation
+    # linker's vocabulary coalesce).
     pairs = (
         recs.filter(F.col("unit_code").isNotNull())
-        .select("unit_code", "unit_literal").distinct()
+        .select("unit_code", "unit_literal").distinct().coalesce(1)
     )
     cands_a = pairs.join(
         F.broadcast(unit_labels.filter(F.col("cover_number").isNotNull())),
@@ -153,14 +179,14 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     # so empty/missing literals must be filtered before n-gram generation
     prep = (
         path_b.filter(F.col("unit_literal").isNotNull() & (F.trim("unit_literal") != ""))
-        .withColumn("prep", preprocess_unit(F.col("unit_literal")))
+        .withColumn("prep", _prep_col())
         .withColumn("tokens", F.split(F.col("prep"), r"\s+"))
         .filter(F.size("tokens") > 0)
     )
     # contiguous word n-grams, n = 1..MAX_NGRAM
-    ngrams = prep.select(
-        "record_uri", "death_cmp",
-        F.explode(
+    global _NGRAM_COL
+    if _NGRAM_COL is None:
+        _NGRAM_COL = F.explode(
             F.flatten(
                 F.transform(
                     F.sequence(F.lit(1), F.least(F.lit(MAX_NGRAM), F.size("tokens"))),
@@ -170,8 +196,8 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
                     ),
                 )
             )
-        ).alias("ngram"),
-    )
+        ).alias("ngram")
+    ngrams = prep.select("record_uri", "death_cmp", _NGRAM_COL)
     # Each dictionary label yields TWO normalized keys: the raw form and the
     # abbreviation-EXPANDED form. The record side always expands, so the
     # coverless literal '2./JR 8' becomes '2./Jalkaväkirykmentti 8' and can
@@ -183,20 +209,23 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     # this from its
     # Lucene index analyzing several label variants per unit
     # (arpa_services/warsa_casualties_actor_units).
-    dim_b = F.broadcast(
-        unit_labels.select(
-            "unit_uri",
-            "conflict",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        normalize_label(F.col("label")),
-                        normalize_label(preprocess_unit(F.col("label"))),
+    dim_key = id(unit_labels)
+    if dim_key not in _DIM_B_MEMO:
+        _DIM_B_MEMO[dim_key] = F.broadcast(
+            unit_labels.select(
+                "unit_uri",
+                "conflict",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            normalize_label(F.col("label")),
+                            normalize_label(preprocess_unit(F.col("label"))),
+                        )
                     )
-                )
-            ).alias("norm_label"),
+                ).alias("norm_label"),
+            )
         )
-    )
+    dim_b = _DIM_B_MEMO[dim_key]
     cands_b = ngrams.withColumn("norm_ngram", normalize_label(F.col("ngram"))).join(
         dim_b, F.col("norm_ngram") == F.col("norm_label")
     )

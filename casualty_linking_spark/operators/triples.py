@@ -75,11 +75,15 @@ def _entry(pred: str, obj: F.Column, obj_type: str, datatype: F.Column | None = 
     )
 
 
-def records_to_triples(records: DataFrame, cemeteries_dim: DataFrame, graph_kind: str = "casualties") -> DataFrame:
-    """Wide silver record -> long (subj, pred, obj) rows (P1 unpivot) plus the
-    graveyard URI construction/validation (P11, src/csv_to_rdf.py:94-121)."""
-    # graveyard handling: mint h{code}_{n} URI, apply the two overrides,
-    # existence-check against the cemeteries dimension (broadcast join).
+# Column trees for the unpivot are pure functions of column names and module
+# constants; build them once per process (rebuilding cost ~2-3 s of py4j
+# driver time per call — records_to_triples is embedded in the flagship and
+# ~10 contract queries). Lazy: Column construction needs a live JVM.
+_GY_MAPPED: F.Column | None = None
+_ENTRIES_EXPLODED: F.Column | None = None
+
+
+def _gy_mapped_col() -> F.Column:
     mun_code = F.regexp_extract("municipality_of_burial", r"/k([^/]*)$", 1)
     gy_raw = F.when(
         F.col("municipality_of_burial").isNotNull() & F.col("graveyard_number").isNotNull(),
@@ -88,13 +92,10 @@ def records_to_triples(records: DataFrame, cemeteries_dim: DataFrame, graph_kind
     gy_mapped = gy_raw
     for bad, good in GRAVEYARD_MAPPING:
         gy_mapped = F.when(gy_mapped == bad, F.lit(good)).otherwise(gy_mapped)
+    return gy_mapped
 
-    recs = records.withColumn("gy_uri", gy_mapped).join(
-        F.broadcast(cemeteries_dim.withColumnRenamed("cem_uri", "gy_uri").withColumn("gy_exists", F.lit(True))),
-        "gy_uri",
-        "left",
-    ).withColumn("gy_exists", F.coalesce("gy_exists", F.lit(False)))
 
+def _entries_exploded_col() -> F.Column:
     entries = []
     for col, pred, kind in PROPERTY_SPEC:
         c = F.col(col)
@@ -129,11 +130,26 @@ def records_to_triples(records: DataFrame, cemeteries_dim: DataFrame, graph_kind
     )
     # rdf:type DeathRecord (src/csv_to_rdf.py:82)
     entries.append(_entry(NS.RDF_TYPE, F.lit(DEATH_RECORD_TYPE), "uri"))
+    return F.explode(F.array_compact(F.array(*entries))).alias("t")
 
-    exploded = recs.select(
-        F.col("record_uri").alias("subj"),
-        F.explode(F.array_compact(F.array(*entries))).alias("t"),
-    )
+
+def records_to_triples(records: DataFrame, cemeteries_dim: DataFrame, graph_kind: str = "casualties") -> DataFrame:
+    """Wide silver record -> long (subj, pred, obj) rows (P1 unpivot) plus the
+    graveyard URI construction/validation (P11, src/csv_to_rdf.py:94-121)."""
+    global _GY_MAPPED, _ENTRIES_EXPLODED
+    if _GY_MAPPED is None:
+        _GY_MAPPED = _gy_mapped_col()
+        _ENTRIES_EXPLODED = _entries_exploded_col()
+
+    # graveyard handling: mint h{code}_{n} URI, apply the two overrides,
+    # existence-check against the cemeteries dimension (broadcast join).
+    recs = records.withColumn("gy_uri", _GY_MAPPED).join(
+        F.broadcast(cemeteries_dim.withColumnRenamed("cem_uri", "gy_uri").withColumn("gy_exists", F.lit(True))),
+        "gy_uri",
+        "left",
+    ).withColumn("gy_exists", F.coalesce("gy_exists", F.lit(False)))
+
+    exploded = recs.select(F.col("record_uri").alias("subj"), _ENTRIES_EXPLODED)
     return exploded.select(
         "subj", "t.pred", "t.obj", "t.obj_type", "t.lang", "t.datatype",
         F.lit(graph_kind).alias("graph_kind"),

@@ -108,14 +108,19 @@ def get_spark(
         )
     )
     # AQE coalescing's "minimum partition worth scheduling" is byte-oriented
-    # (default 1MB). Optional override for CPU-dense/narrow-row workloads
-    # where a 1MB partition carries tens of seconds of work (unset = Spark
-    # default; A/B-measured before adoption, see OPTIMIZATION_r06.md).
-    minpart = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION")
-    if minpart:
-        builder = builder.config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize", minpart
-        )
+    # (default 1MB), which caps post-shuffle parallelism at totalBytes/1MB
+    # even though coalescePartitions.parallelismFirst WANTS one partition
+    # per core. This workload's reduce stages are CPU-dense over narrow rows
+    # (regex converters + vectorized UDFs: ~30 s of work per MB measured on
+    # the silver build), so the 1MB floor serializes them onto 2 tasks at
+    # bench scale. 64k restores the parallelism-first behavior; at
+    # production shuffle sizes partitions exceed 1MB anyway, so the setting
+    # is inert there — it only affects the small-shuffle regime where
+    # parallelism, not partition size, is what matters.
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
