@@ -102,6 +102,46 @@ def _prep_col() -> F.Column:
     return _PREP_COL
 
 
+# Remaining per-call Column pieces, built once (same rationale as above).
+_MISC: dict | None = None
+
+
+def _misc() -> dict:
+    global _MISC
+    if _MISC is None:
+        _MISC = {
+            "score_a": levenshtein_ratio(
+                ascii_fold(F.col("label")), ascii_fold(F.col("unit_literal"))
+            ),
+            "w_a": Window.partitionBy("unit_code", "unit_literal").orderBy(
+                F.col("score").desc(), F.col("unit_uri").asc()
+            ),
+            "period_cols": [
+                F.col("record_uri").alias("subj"),
+                F.lit(NS.RELATED_PERIOD).alias("pred"),
+                F.lit(NS.WINTER_WAR).alias("obj"),
+                F.lit("uri").alias("obj_type"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("datatype"),
+                F.lit("unit_links").alias("graph_kind"),
+            ],
+            "norm_ngram": normalize_label(F.col("ngram")),
+            "period_match": (
+                F.col("conflict")
+                == F.when(
+                    F.col("death_cmp") < WINTER_WAR_CUTOFF, F.lit(NS.WINTER_WAR)
+                ).otherwise(F.lit(NS.CONTINUATION_WAR))
+            ).cast("int"),
+            "w_b": Window.partitionBy("record_uri").orderBy(
+                F.col("period_match").desc(),
+                F.length("norm_ngram").desc(),
+                F.col("unit_uri").asc(),
+            ),
+            "link_row": _link_row(F.col("record_uri"), F.col("unit_uri")),
+        }
+    return _MISC
+
+
 def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, DataFrame]:
     """-> (unit link triples, related-period triples).
 
@@ -135,17 +175,12 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     )
     # score = edit-distance ratio on accent-folded raw label vs literal
     # (reference: max fuzz.ratio over the unit's labels, src/linker.py:171)
-    scored_a = cands_a.withColumn(
-        "score",
-        levenshtein_ratio(ascii_fold(F.col("label")), ascii_fold(F.col("unit_literal"))),
-    )
+    m = _misc()
+    scored_a = cands_a.withColumn("score", m["score_a"])
     per_unit = scored_a.groupBy("unit_code", "unit_literal", "unit_uri").agg(
         F.max("score").alias("score")
     )
-    w = Window.partitionBy("unit_code", "unit_literal").orderBy(
-        F.col("score").desc(), F.col("unit_uri").asc()
-    )
-    best_pair = per_unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best_pair = per_unit.withColumn("rn", F.row_number().over(m["w_a"])).filter(F.col("rn") == 1)
     # one broadcast join covers every record: null cover keys simply don't
     # match, leaving score null — so both the accepted set and the
     # fall-through set (no cover / unknown cover / sub-threshold,
@@ -164,15 +199,7 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     )
 
     # Winter-War tagging (string compare on the literal the reference sees)
-    period = path_b.filter(F.col("death_cmp") < WINTER_WAR_CUTOFF).select(
-        F.col("record_uri").alias("subj"),
-        F.lit(NS.RELATED_PERIOD).alias("pred"),
-        F.lit(NS.WINTER_WAR).alias("obj"),
-        F.lit("uri").alias("obj_type"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("string").alias("datatype"),
-        F.lit("unit_links").alias("graph_kind"),
-    )
+    period = path_b.filter(F.col("death_cmp") < WINTER_WAR_CUTOFF).select(*m["period_cols"])
 
     # ---- Path B: n-gram candidates against normalized labels ----
     # guard: sequence(1, 0) would produce a *descending* sequence in Spark,
@@ -226,26 +253,16 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
             )
         )
     dim_b = _DIM_B_MEMO[dim_key]
-    cands_b = ngrams.withColumn("norm_ngram", normalize_label(F.col("ngram"))).join(
+    cands_b = ngrams.withColumn("norm_ngram", m["norm_ngram"]).join(
         dim_b, F.col("norm_ngram") == F.col("norm_label")
     )
     # war-period validator (Validator(temp_graph) disambiguation,
     # src/linker.py:202-208): candidates whose conflict matches the record's
     # period win; then longest ngram, then URI.
-    record_period = F.when(
-        F.col("death_cmp") < WINTER_WAR_CUTOFF, F.lit(NS.WINTER_WAR)
-    ).otherwise(F.lit(NS.CONTINUATION_WAR))
-    validated = cands_b.withColumn(
-        "period_match", (F.col("conflict") == record_period).cast("int")
-    )
-    wb = Window.partitionBy("record_uri").orderBy(
-        F.col("period_match").desc(),
-        F.length("norm_ngram").desc(),
-        F.col("unit_uri").asc(),
-    )
-    best_b = validated.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    validated = cands_b.withColumn("period_match", m["period_match"])
+    best_b = validated.withColumn("rn", F.row_number().over(m["w_b"])).filter(F.col("rn") == 1)
 
-    links = links_a.select(*_link_row(F.col("record_uri"), F.col("unit_uri"))).unionByName(
-        best_b.select(*_link_row(F.col("record_uri"), F.col("unit_uri")))
+    links = links_a.select(*m["link_row"]).unionByName(
+        best_b.select(*m["link_row"])
     ).dropDuplicates(["subj", "pred", "obj"])
     return links, period
