@@ -402,3 +402,39 @@ def test_ohlc_and_twa_single_exchange(spark):
         plan = _plan(op(e))
         assert "Join" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_signature_is_projection_not_aggregate(spark):
+    """r6 reshape: the minhash signature is a per-row projection with the
+    shingle array LET-BOUND (transform over a one-element array), not the
+    explode + string-min SortAggregate shape — no per-(doc,shingle) shuffle
+    and no sort-based aggregation anywhere in the band build. Also guards
+    the let-binding itself: if an optimizer rule ever beta-reduces
+    element_at(transform(array(x), f), 1) back into an inlined lambda body,
+    the shingle subtree would appear once PER MINHASH and this count blows
+    past the two join sides."""
+    from casualty_linking_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "SortAggregate" not in plan, plan
+    # one shingle computation per join side (and with exchange reuse only
+    # one side executes) — NOT one per minhash seed
+    assert plan.count("array_sort(array_distinct") <= 2, plan
+
+
+def test_occupation_scorer_single_python_eval(spark):
+    """r6 fix (guide §4.4): the jaro_winkler pandas UDF must appear in ONE
+    ArrowEvalPython node — the filter on its output previously duplicated
+    the evaluation (two Python-boundary crossings per candidate pair)."""
+    from casualty_linking_spark import dims, synth
+    from casualty_linking_spark.operators import extract, records as R
+    from casualty_linking_spark.operators.link_occupations import link_occupations
+
+    rec = R.build_records(
+        extract.mentions_to_raw_records(
+            extract.extract_mentions(synth.transcripts_range(spark, 50))
+        )
+    )
+    plan = _plan(link_occupations(rec, dims.dim_occupations(spark)))
+    assert plan.count("ArrowEvalPython") == 1, plan
