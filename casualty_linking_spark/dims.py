@@ -188,15 +188,17 @@ GRAVEYARD_MAPPING = [
 # immutable, so sharing one plan object is safe.
 # --------------------------------------------------------------------------
 
-_DIM_MEMO: dict[tuple[str, int], DataFrame] = {}
+# Entries pin the session object: id() of a garbage-collected session could
+# be reused by a new one, which would silently serve another session's plan.
+_DIM_MEMO: dict[tuple[str, int], tuple[SparkSession, DataFrame]] = {}
 
 
 def _memo_dim(fn):
     def wrapper(spark: SparkSession) -> DataFrame:
         key = (fn.__name__, id(spark))
         if key not in _DIM_MEMO:
-            _DIM_MEMO[key] = fn(spark)
-        return _DIM_MEMO[key]
+            _DIM_MEMO[key] = (spark, fn(spark))
+        return _DIM_MEMO[key][1]
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__
@@ -324,7 +326,7 @@ def dim_codes(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "code_kind string, key string, uri string")
 
 
-_DIMS_CACHE: dict[int, dict[str, DataFrame]] = {}
+_DIMS_CACHE: dict[int, dict] = {}
 
 
 def broadcast_dims(spark: SparkSession) -> dict[str, DataFrame]:
@@ -338,7 +340,10 @@ def broadcast_dims(spark: SparkSession) -> dict[str, DataFrame]:
     is pure overhead at any scale)."""
     key = id(spark)
     if key not in _DIMS_CACHE:
+        # "_session" pins the session so its id cannot be recycled (same
+        # rationale as _DIM_MEMO); callers only read the dim entries.
         _DIMS_CACHE[key] = {
+            "_session": spark,
             "ranks": F.broadcast(dim_ranks(spark)),
             "rank_labels": F.broadcast(dim_rank_labels(spark)),
             "units": F.broadcast(dim_units(spark)),

@@ -92,7 +92,7 @@ def _link_row(subj: F.Column, unit: F.Column) -> list[F.Column]:
 _RECS_COLS: list | None = None
 _NGRAM_COL: F.Column | None = None
 _PREP_COL: F.Column | None = None
-_DIM_B_MEMO: dict[int, DataFrame] = {}
+_DIM_B_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def _prep_col() -> F.Column:
@@ -236,23 +236,29 @@ def link_units(records: DataFrame, unit_labels: DataFrame) -> tuple[DataFrame, D
     # this from its
     # Lucene index analyzing several label variants per unit
     # (arpa_services/warsa_casualties_actor_units).
+    # the memo entry pins the keyed DataFrame: id() of a garbage-collected
+    # object can be reused, so the key object must stay alive for the key
+    # to remain unambiguous
     dim_key = id(unit_labels)
     if dim_key not in _DIM_B_MEMO:
-        _DIM_B_MEMO[dim_key] = F.broadcast(
-            unit_labels.select(
-                "unit_uri",
-                "conflict",
-                F.explode(
-                    F.array_distinct(
-                        F.array(
-                            normalize_label(F.col("label")),
-                            normalize_label(preprocess_unit(F.col("label"))),
+        _DIM_B_MEMO[dim_key] = (
+            unit_labels,
+            F.broadcast(
+                unit_labels.select(
+                    "unit_uri",
+                    "conflict",
+                    F.explode(
+                        F.array_distinct(
+                            F.array(
+                                normalize_label(F.col("label")),
+                                normalize_label(preprocess_unit(F.col("label"))),
+                            )
                         )
-                    )
-                ).alias("norm_label"),
-            )
+                    ).alias("norm_label"),
+                )
+            ),
         )
-    dim_b = _DIM_B_MEMO[dim_key]
+    dim_b = _DIM_B_MEMO[dim_key][1]
     cands_b = ngrams.withColumn("norm_ngram", m["norm_ngram"]).join(
         dim_b, F.col("norm_ngram") == F.col("norm_label")
     )
